@@ -1,0 +1,48 @@
+"""Single-WAV inference CLI: waveform -> silence slicing -> TPU pipeline -> MIDI.
+
+API-compatible with the reference CLI (reference: infer.py:14-47). The model
+checkpoint may be a native SOME-TPU ckpt or a published torch .ckpt (it is
+converted on the fly).
+"""
+import pathlib
+
+import click
+import yaml
+
+
+@click.command(help="Run inference with a trained model")
+@click.option("--model", required=True, metavar="CKPT_PATH",
+              help="Path to the model checkpoint (*.ckpt)")
+@click.option("--wav", required=True, metavar="WAV_PATH",
+              help="Path to the input wav file (*.wav)")
+@click.option("--midi", required=False, metavar="MIDI_PATH",
+              help="Path to the output MIDI file (*.mid)")
+@click.option("--tempo", required=False, type=float, default=120,
+              metavar="TEMPO", help="Tempo of the output MIDI")
+def infer(model, wav, midi, tempo):
+    from some_tpu.audio.slicer import SilenceSlicer
+    from some_tpu.audio.wavio import load_wav
+    from some_tpu.config import print_config
+    from some_tpu.inference.base_infer import build_inference
+    from some_tpu.utils.midi_file import build_midi_file
+
+    model_path = pathlib.Path(model)
+    with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
+        config = yaml.safe_load(f)
+    print_config(config)
+    engine = build_inference(config, model_path)
+
+    wav_path = pathlib.Path(wav)
+    waveform, _ = load_wav(wav_path, sr=config["audio_sample_rate"], mono=True)
+    slicer = SilenceSlicer(sr=config["audio_sample_rate"], max_sil_kept=1000)
+    chunks = slicer.slice(waveform)
+    segments = engine.infer([c["waveform"] for c in chunks])
+
+    midi_file = build_midi_file([c["offset"] for c in chunks], segments, tempo=tempo)
+    midi_path = pathlib.Path(midi) if midi is not None else wav_path.with_suffix(".mid")
+    midi_file.save(midi_path)
+    print(f"MIDI file saved at: '{midi_path}'")
+
+
+if __name__ == "__main__":
+    infer()

@@ -1,0 +1,110 @@
+"""RMS-based silence slicer (host plane).
+
+Splits a waveform at silent stretches so the model never attends across a
+whole song; behavioral twin of the reference slicer
+(reference: utils/slicer2.py:41-145; defaults -40 dB threshold, 5 s min
+length, 300 ms min interval, max_sil_kept in ms). The RMS envelope here is
+computed with a cumulative-sum-of-squares scan instead of stride tricks —
+O(n) and branch-free — but yields the same values.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def rms_envelope(y: np.ndarray, frame_length: int = 2048, hop_length: int = 512) -> np.ndarray:
+    """Centered RMS per frame, matching librosa-style framing."""
+    pad = frame_length // 2
+    y = np.pad(y, (pad, pad), mode="constant")
+    sq = np.concatenate(([0.0], np.cumsum(y.astype(np.float64) ** 2)))
+    starts = np.arange(0, len(y) - frame_length + 1, hop_length)
+    power = (sq[starts + frame_length] - sq[starts]) / frame_length
+    return np.sqrt(power)
+
+
+class SilenceSlicer:
+    def __init__(self, sr: int, threshold: float = -40.0, min_length: int = 5000,
+                 min_interval: int = 300, hop_size: int = 20, max_sil_kept: int = 5000):
+        if not min_length >= min_interval >= hop_size:
+            raise ValueError("min_length >= min_interval >= hop_size required")
+        if not max_sil_kept >= hop_size:
+            raise ValueError("max_sil_kept >= hop_size required")
+        min_interval_samples = sr * min_interval / 1000
+        self.sr = sr
+        self.threshold = 10 ** (threshold / 20.0)
+        self.hop_size = round(sr * hop_size / 1000)
+        self.win_size = min(round(min_interval_samples), 4 * self.hop_size)
+        self.min_length = round(sr * min_length / 1000 / self.hop_size)
+        self.min_interval = round(min_interval_samples / self.hop_size)
+        self.max_sil_kept = round(sr * max_sil_kept / 1000 / self.hop_size)
+
+    def _chunk(self, waveform: np.ndarray, begin: int, end: int) -> dict:
+        start_sample = begin * self.hop_size
+        end_sample = min(waveform.shape[-1], end * self.hop_size)
+        if waveform.ndim > 1:
+            piece = waveform[:, start_sample:end_sample]
+        else:
+            piece = waveform[start_sample:end_sample]
+        return {"offset": start_sample / self.sr, "waveform": piece}
+
+    def slice(self, waveform: np.ndarray) -> list:
+        samples = waveform.mean(axis=0) if waveform.ndim > 1 else waveform
+        if (samples.shape[0] + self.hop_size - 1) // self.hop_size <= self.min_length:
+            return [{"offset": 0, "waveform": waveform}]
+        rms = rms_envelope(samples, frame_length=self.win_size, hop_length=self.hop_size)
+
+        sil_tags: list = []
+        silence_start = None
+        clip_start = 0
+        for i, level in enumerate(rms):
+            if level < self.threshold:
+                if silence_start is None:
+                    silence_start = i
+                continue
+            if silence_start is None:
+                continue
+            # A silent stretch [silence_start, i) just ended at a loud frame.
+            is_leading_silence = silence_start == 0 and i > self.max_sil_kept
+            need_slice_middle = (i - silence_start >= self.min_interval
+                                 and i - clip_start >= self.min_length)
+            if not is_leading_silence and not need_slice_middle:
+                silence_start = None
+                continue
+            if i - silence_start <= self.max_sil_kept:
+                pos = rms[silence_start:i + 1].argmin() + silence_start
+                sil_tags.append((0, pos) if silence_start == 0 else (pos, pos))
+                clip_start = pos
+            elif i - silence_start <= self.max_sil_kept * 2:
+                pos = rms[i - self.max_sil_kept:silence_start + self.max_sil_kept + 1].argmin()
+                pos += i - self.max_sil_kept
+                pos_l = rms[silence_start:silence_start + self.max_sil_kept + 1].argmin() + silence_start
+                pos_r = rms[i - self.max_sil_kept:i + 1].argmin() + i - self.max_sil_kept
+                if silence_start == 0:
+                    sil_tags.append((0, pos_r))
+                    clip_start = pos_r
+                else:
+                    sil_tags.append((min(pos_l, pos), max(pos_r, pos)))
+                    clip_start = max(pos_r, pos)
+            else:
+                pos_l = rms[silence_start:silence_start + self.max_sil_kept + 1].argmin() + silence_start
+                pos_r = rms[i - self.max_sil_kept:i + 1].argmin() + i - self.max_sil_kept
+                sil_tags.append((0, pos_r) if silence_start == 0 else (pos_l, pos_r))
+                clip_start = pos_r
+            silence_start = None
+
+        total_frames = rms.shape[0]
+        if silence_start is not None and total_frames - silence_start >= self.min_interval:
+            silence_end = min(total_frames, silence_start + self.max_sil_kept)
+            pos = rms[silence_start:silence_end + 1].argmin() + silence_start
+            sil_tags.append((pos, total_frames + 1))
+
+        if not sil_tags:
+            return [{"offset": 0, "waveform": waveform}]
+        chunks = []
+        if sil_tags[0][0] > 0:
+            chunks.append(self._chunk(waveform, 0, sil_tags[0][0]))
+        for a, b in zip(sil_tags[:-1], sil_tags[1:]):
+            chunks.append(self._chunk(waveform, a[1], b[0]))
+        if sil_tags[-1][1] < total_frames:
+            chunks.append(self._chunk(waveform, sil_tags[-1][1], total_frames))
+        return chunks

@@ -1,0 +1,113 @@
+"""Bucketed static-shape inference engine.
+
+The reference loops chunk-by-chunk with dynamic shapes
+(reference: inference/base_infer.py:46-53); a TPU needs static shapes, so
+chunks are padded up to a geometric bucket grid and *batched within a
+bucket*: XLA compiles once per bucket, every chunk of a song rides one of a
+handful of executables, and the whole waveform->notes pipeline (mel ->
+conformer -> framewise decode -> note aggregation) is a single jitted program
+per bucket. The mask machinery in the model makes padded outputs
+bit-equivalent to unpadded runs (see some_tpu/nn/conformer.py docstring), so
+bucketing costs no parity.
+"""
+from __future__ import annotations
+
+import functools
+import pathlib
+from typing import Dict, List
+
+import jax
+import numpy as np
+
+from some_tpu.nn.model import build_midi_extractor
+from some_tpu.ops.melspec import LogMelSpec
+from some_tpu.registry import TASK_INFERENCE_MAPPING, resolve_class
+from some_tpu.training.checkpoint import load_any_checkpoint
+
+# Geometric frame buckets (x1.5 growth): bounded compile count, <=50% pad waste.
+DEFAULT_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+                   6144, 8192, 12288, 16384, 24576, 32768)
+
+
+def pick_bucket(n_frames: int, buckets=DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n_frames <= b:
+            return b
+    raise ValueError(f"chunk of {n_frames} frames exceeds the largest bucket "
+                     f"{buckets[-1]}; slice the audio first")
+
+
+class BaseInference:
+    def __init__(self, config: dict, model_path: pathlib.Path | str,
+                 dtype=None, max_batch_chunks: int = 8):
+        import jax.numpy as jnp
+
+        self.config = config
+        self.model_path = pathlib.Path(model_path)
+        self.timestep = config["hop_size"] / config["audio_sample_rate"]
+        self.hop = config["hop_size"]
+        self.max_batch_chunks = max_batch_chunks
+        self.dtype = jnp.bfloat16 if dtype is None else dtype
+        self.model = self.build_model()
+        self.variables = self.load_variables()
+
+    def build_model(self):
+        return build_midi_extractor(self.config, dtype=self.dtype)
+
+    def load_variables(self) -> dict:
+        ckpt = load_any_checkpoint(self.model_path)
+        variables = {"params": ckpt["params"]}
+        if ckpt.get("batch_stats"):
+            variables["batch_stats"] = ckpt["batch_stats"]
+        return variables
+
+    # subclasses implement the jitted device pipeline and host assembly
+    def run_bucket(self, audio: np.ndarray, frame_mask: np.ndarray) -> dict:
+        raise NotImplementedError
+
+    def assemble(self, device_out: dict, n_frames: int) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def infer(self, waveforms: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
+        """Chunk list -> note dicts, batched per bucket."""
+        jobs = []
+        for i, w in enumerate(waveforms):
+            n_frames = len(w) // self.hop + 1
+            jobs.append({"idx": i, "wave": w, "frames": n_frames,
+                         "bucket": pick_bucket(n_frames)})
+        results: List[Dict[str, np.ndarray] | None] = [None] * len(waveforms)
+
+        by_bucket: Dict[int, list] = {}
+        for job in jobs:
+            by_bucket.setdefault(job["bucket"], []).append(job)
+
+        for bucket, bucket_jobs in sorted(by_bucket.items()):
+            for start in range(0, len(bucket_jobs), self.max_batch_chunks):
+                group = bucket_jobs[start:start + self.max_batch_chunks]
+                # largest sample count that still yields exactly `bucket`
+                # frames (n//hop + 1) — no chunk truncation at bucket edges
+                n_samples = bucket * self.hop - 1
+                audio = np.zeros((len(group), n_samples), dtype=np.float32)
+                mask = np.zeros((len(group), bucket), dtype=bool)
+                for row, job in enumerate(group):
+                    wave = job["wave"][:n_samples]
+                    audio[row, :len(wave)] = wave
+                    mask[row, :job["frames"]] = True
+                out = self.run_bucket(audio, mask)
+                out = {k: np.asarray(v) for k, v in out.items()}
+                for row, job in enumerate(group):
+                    results[job["idx"]] = self.assemble(
+                        {k: v[row] for k, v in out.items()}, job["frames"])
+        return results  # type: ignore[return-value]
+
+
+def build_inference(config: dict, model_path: pathlib.Path | str, **kwargs
+                    ) -> BaseInference:
+    """task_cls -> inference engine, via the registry mapping
+    (reference: inference/__init__.py:5-8, infer.py:24-31)."""
+    task_cls = config["task_cls"]
+    infer_path = TASK_INFERENCE_MAPPING.get(task_cls)
+    if infer_path is None:
+        raise KeyError(f"no inference engine registered for task {task_cls!r}")
+    cls = resolve_class(infer_path)
+    return cls(config=config, model_path=model_path, **kwargs)

@@ -1,0 +1,75 @@
+"""Continuous-model inference: mel units -> conformer -> gaussian decode.
+
+Device pipeline parity with the reference engine
+(reference: inference/me_infer.py:15-97): units = log-mel, pitch input is
+zeros (the f0 path is dormant upstream, me_infer.py:33-58), masks mark real
+frames, sigmoid probs + boundary probs are masked and decoded framewise, and
+note aggregation runs via the static-shape segment decoders. Everything from
+waveform to note arrays is one jitted XLA program per bucket.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from some_tpu.inference.base_infer import BaseInference
+from some_tpu.ops.decode import (
+    decode_bounds_to_alignment, decode_gaussian_blurred_probs, decode_note_sequence,
+)
+from some_tpu.ops.melspec import LogMelSpec
+
+
+class MIDIExtractionInference(BaseInference):
+    def __init__(self, config: dict, model_path, **kwargs):
+        super().__init__(config, model_path, **kwargs)
+        self.mel = LogMelSpec(
+            n_mels=config["units_dim"], sample_rate=config["audio_sample_rate"],
+            win_length=config["win_size"], hop_length=config["hop_size"],
+            fmin=config["fmin"], fmax=config["fmax"],
+            method=config.get("mel_method", "rfft"), dtype=jnp.float32)
+        self.midi_min = config["midi_min"]
+        self.midi_max = config["midi_max"]
+        self.midi_deviation = config["midi_prob_deviation"]
+        self.rest_threshold = config["rest_threshold"]
+        self._pipeline = jax.jit(self._device_pipeline)
+
+    def _forward(self, units, mask):
+        """units [B,T,C] -> (probs [B,T,K] sigmoid, bounds [B,T])."""
+        probs, bounds = self.model.apply(
+            self.variables, units, f0=None, mask=mask, sig=True)
+        return probs, bounds
+
+    def _decode(self, probs, bounds, mask):
+        maskf = mask.astype(probs.dtype)
+        probs = probs * maskf[..., None]
+        bounds = bounds * maskf
+        frame2note = decode_bounds_to_alignment(bounds) * mask
+        midi, rest = decode_gaussian_blurred_probs(
+            probs, vmin=self.midi_min, vmax=self.midi_max,
+            deviation=self.midi_deviation, threshold=self.rest_threshold)
+        note_midi, note_dur, note_mask = decode_note_sequence(
+            frame2note, midi, (~rest) & mask)
+        n_notes = frame2note.max(axis=1)
+        return {"note_midi": note_midi, "note_dur": note_dur,
+                "note_rest": ~note_mask, "n_notes": n_notes}
+
+    def _device_pipeline(self, audio, mask):
+        units = self.mel(audio)
+        probs, bounds = self._forward(units, mask)
+        return self._decode(probs, bounds, mask)
+
+    def run_bucket(self, audio: np.ndarray, frame_mask: np.ndarray) -> dict:
+        return self._pipeline(audio, frame_mask)
+
+    def assemble(self, device_out: dict, n_frames: int) -> Dict[str, np.ndarray]:
+        n = int(device_out["n_notes"])
+        return {
+            "note_midi": np.asarray(device_out["note_midi"][:n], dtype=np.float32),
+            "note_dur": np.asarray(device_out["note_dur"][:n],
+                                   dtype=np.float64) * self.timestep,
+            "note_rest": np.asarray(device_out["note_rest"][:n], dtype=bool),
+        }

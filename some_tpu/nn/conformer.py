@@ -1,0 +1,263 @@
+"""Dual-stream conformer backbone (flax.linen).
+
+Architecture parity with the reference backbone
+(reference: modules/conform/Gconform.py, modules/attention/base_attention.py,
+modules/conv/base_conv.py):
+
+* ConformerBlock: macaron x0.5 FFN -> pre-norm MHSA -> conv module
+  (pointwise->GLU->depthwise k=31->BatchNorm->SiLU->pointwise) -> x0.5 FFN
+  -> final LayerNorm.
+* DualStreamBlock: two parallel conformer blocks (midi / boundary streams)
+  cross-injected through per-stream GLU gates
+  (reference: modules/conform/Gconform.py:68-87).
+* MidiConformer: per-stream input projections, N dual-stream layers with
+  re-masking of the midi stream between layers, one extra conformer block per
+  stream, then the midi head (dim->out bins) and the sigmoid boundary head
+  (reference: modules/conform/Gconform.py:92-140). The ``pitch`` argument is
+  accepted and unused, as in the reference (Gconform.py:119).
+
+TPU-specific deltas (supersets of reference behavior, exact for unpadded
+input):
+* Attention optionally masks padded keys and the conv module zeroes padded
+  frames before the depthwise conv. With an all-ones mask both are no-ops;
+  with padding they make bucketed (padded) inference bit-equivalent to
+  running each sequence unpadded — the reference never pads at inference so
+  this reproduces its outputs under static XLA shapes.
+* Computation runs in ``dtype`` (bf16 on TPU), parameters stay float32;
+  softmax and normalization statistics are computed in float32.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class FeedForward(nn.Module):
+    """dim -> 4*dim -> dim with SiLU (reference: Gconform.py:20-34)."""
+    dim: int
+    latent_drop: float = 0.1
+    out_drop: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
+        x = nn.silu(x)
+        if self.latent_drop > 0:
+            x = nn.Dropout(self.latent_drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        if self.out_drop > 0:
+            x = nn.Dropout(self.out_drop, deterministic=deterministic)(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Bias-free q / fused-kv MHSA (reference: base_attention.py:8-46)."""
+    dim: int
+    heads: int = 4
+    head_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        hidden = self.heads * self.head_dim
+        q = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="q_proj")(x)
+        kv = nn.Dense(hidden * 2, use_bias=False, dtype=self.dtype, name="kv_proj")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        B, T = x.shape[0], x.shape[1]
+        q = q.reshape(B, T, self.heads, self.head_dim)
+        k = k.reshape(B, T, self.heads, self.head_dim)
+        v = v.reshape(B, T, self.heads, self.head_dim)
+
+        scale = self.head_dim ** -0.5
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+        weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(B, T, hidden)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class DepthwiseConv1d(nn.Module):
+    """Per-channel temporal conv, kernel stored as [k, C] (torch [C,1,k].T)."""
+    channels: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, self.channels), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        import jax.lax as lax
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel[:, None, :].astype(self.dtype),
+            window_strides=(1,),
+            padding="SAME",
+            feature_group_count=self.channels,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class ConvModule(nn.Module):
+    """pointwise->GLU->depthwise->BN->SiLU->pointwise (reference: base_conv.py:18-70)."""
+    dim: int
+    kernel_size: int = 31
+    drop: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True, use_running_average: bool = True):
+        x = nn.Dense(2 * self.dim, dtype=self.dtype, name="pw1")(x)
+        out, gate = jnp.split(x, 2, axis=-1)
+        x = out * nn.sigmoid(gate)
+        if mask is not None:
+            # Padded frames become exact zeros, matching the implicit zero
+            # padding the depthwise conv would see on an unpadded sequence.
+            x = jnp.where(mask[..., None], x, 0)
+        x = DepthwiseConv1d(self.dim, self.kernel_size, dtype=self.dtype, name="dw")(x)
+        x = nn.BatchNorm(
+            use_running_average=use_running_average, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(x)
+        x = nn.silu(x).astype(self.dtype)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(x)
+        if self.drop > 0:
+            x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class ConformerBlock(nn.Module):
+    """Macaron conformer block (reference: Gconform.py:37-63)."""
+    dim: int
+    kernel_size: int = 31
+    conv_drop: float = 0.1
+    ffn_latent_drop: float = 0.1
+    ffn_out_drop: float = 0.1
+    attention_drop: float = 0.1
+    heads: int = 4
+    head_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True, use_running_average: bool = True):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+        x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
+                        dtype=self.dtype, name="ffn1")(
+            ln("norm1")(x).astype(self.dtype), deterministic) * 0.5 + x
+        att = SelfAttention(self.dim, self.heads, self.head_dim,
+                            dtype=self.dtype, name="attn")(
+            ln("norm2")(x).astype(self.dtype), mask=mask)
+        if self.attention_drop > 0:
+            att = nn.Dropout(self.attention_drop, deterministic=deterministic)(att)
+        x = att + x
+        x = ConvModule(self.dim, self.kernel_size, self.conv_drop,
+                       dtype=self.dtype, name="conv")(
+            ln("norm3")(x).astype(self.dtype), mask=mask,
+            deterministic=deterministic, use_running_average=use_running_average) + x
+        x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
+                        dtype=self.dtype, name="ffn2")(
+            ln("norm4")(x).astype(self.dtype), deterministic) * 0.5 + x
+        return ln("norm5")(x).astype(self.dtype)
+
+
+class DualStreamBlock(nn.Module):
+    """Two conformer streams + GLU cross-injection (reference: Gconform.py:68-87)."""
+    dim: int
+    kernel_size: int = 31
+    conv_drop: float = 0.1
+    ffn_latent_drop: float = 0.1
+    ffn_out_drop: float = 0.1
+    attention_drop: float = 0.1
+    heads: int = 4
+    head_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, midi, bound, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True, use_running_average: bool = True):
+        kwargs = dict(mask=mask, deterministic=deterministic,
+                      use_running_average=use_running_average)
+        block_args = dict(
+            dim=self.dim, kernel_size=self.kernel_size, conv_drop=self.conv_drop,
+            ffn_latent_drop=self.ffn_latent_drop, ffn_out_drop=self.ffn_out_drop,
+            attention_drop=self.attention_drop, heads=self.heads,
+            head_dim=self.head_dim, dtype=self.dtype,
+        )
+        midi = ConformerBlock(**block_args, name="midi_block")(midi, **kwargs)
+        bound = ConformerBlock(**block_args, name="bound_block")(bound, **kwargs)
+
+        def glu_gate(name, x):
+            y = nn.Dense(self.dim * 2, dtype=self.dtype, name=name)(x)
+            out, gate = jnp.split(y, 2, axis=-1)
+            return out * nn.sigmoid(gate)
+
+        midi_msg = glu_gate("midi_gate", midi)    # reference glu1(midi)
+        bound_msg = glu_gate("bound_gate", bound)  # reference glu2(bound)
+        return midi + bound_msg, bound + midi_msg
+
+
+class MidiConformer(nn.Module):
+    """Backbone: in-projections, N dual-stream layers, heads.
+
+    Returns (midi_logits [B, T, outdim], bound_prob [B, T]); the boundary
+    head applies sigmoid internally (reference: Gconform.py:135-140).
+    """
+    lay: int
+    dim: int
+    indim: int
+    outdim: int
+    use_lay_skip: bool = True  # stored but unused, as in the reference
+    kernel_size: int = 31
+    conv_drop: float = 0.1
+    ffn_latent_drop: float = 0.1
+    ffn_out_drop: float = 0.1
+    attention_drop: float = 0.1
+    attention_heads: int = 4
+    attention_heads_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+    mask_attention: bool = True
+
+    @nn.compact
+    def __call__(self, x, pitch=None, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True, use_running_average: bool = True):
+        del pitch  # accepted but unused (reference: Gconform.py:119)
+        attn_mask = mask if (self.mask_attention and mask is not None) else None
+        block_args = dict(
+            dim=self.dim, kernel_size=self.kernel_size, conv_drop=self.conv_drop,
+            ffn_latent_drop=self.ffn_latent_drop, ffn_out_drop=self.ffn_out_drop,
+            attention_drop=self.attention_drop, heads=self.attention_heads,
+            head_dim=self.attention_heads_dim, dtype=self.dtype,
+        )
+        kwargs = dict(mask=attn_mask, deterministic=deterministic,
+                      use_running_average=use_running_average)
+
+        x = x.astype(self.dtype)
+        midi = nn.Dense(self.dim, dtype=self.dtype, name="in_proj_midi")(x)
+        bound = nn.Dense(self.dim, dtype=self.dtype, name="in_proj_bound")(x)
+        if mask is not None:
+            midi = jnp.where(mask[..., None], midi, 0)
+        for i in range(self.lay):
+            midi, bound = DualStreamBlock(**block_args, name=f"layer_{i}")(
+                midi, bound, **kwargs)
+            if mask is not None:
+                midi = jnp.where(mask[..., None], midi, 0)
+        midi = ConformerBlock(**block_args, name="final_midi")(midi, **kwargs)
+        bound = ConformerBlock(**block_args, name="final_bound")(bound, **kwargs)
+
+        midi_logits = nn.Dense(self.outdim, dtype=self.dtype, name="out_proj")(midi)
+        bound_logit = nn.Dense(1, dtype=self.dtype, name="bound_head")(bound)
+        bound_prob = nn.sigmoid(bound_logit.astype(jnp.float32)).squeeze(-1)
+        return midi_logits, bound_prob

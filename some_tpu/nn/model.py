@@ -1,0 +1,71 @@
+"""Model wrapper: backbone + output activation flags.
+
+Mirrors the reference wrapper (reference: modules/model/Gmidi_conform.py:22-43):
+``sig`` applies sigmoid to the midi logits, ``softmax`` applies softmax over
+bins; the boundary head is always sigmoided inside the backbone.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from some_tpu.nn.conformer import MidiConformer
+
+
+class MidiExtractor(nn.Module):
+    lay: int
+    dim: int
+    indim: int
+    outdim: int
+    use_lay_skip: bool = True
+    kernel_size: int = 31
+    conv_drop: float = 0.1
+    ffn_latent_drop: float = 0.1
+    ffn_out_drop: float = 0.1
+    attention_drop: float = 0.1
+    attention_heads: int = 4
+    attention_heads_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+    mask_attention: bool = True
+
+    def setup(self):
+        self.backbone = MidiConformer(
+            lay=self.lay, dim=self.dim, indim=self.indim, outdim=self.outdim,
+            use_lay_skip=self.use_lay_skip, kernel_size=self.kernel_size,
+            conv_drop=self.conv_drop, ffn_latent_drop=self.ffn_latent_drop,
+            ffn_out_drop=self.ffn_out_drop, attention_drop=self.attention_drop,
+            attention_heads=self.attention_heads,
+            attention_heads_dim=self.attention_heads_dim,
+            dtype=self.dtype, mask_attention=self.mask_attention,
+        )
+
+    def __call__(self, x, f0=None, mask: Optional[jnp.ndarray] = None,
+                 softmax: bool = False, sig: bool = False,
+                 deterministic: bool = True, use_running_average: bool = True):
+        midi, bound = self.backbone(
+            x, pitch=f0, mask=mask, deterministic=deterministic,
+            use_running_average=use_running_average,
+        )
+        if sig:
+            midi = nn.sigmoid(midi.astype(jnp.float32))
+        if softmax:
+            midi = nn.softmax(midi.astype(jnp.float32), axis=2)
+        return midi, bound
+
+
+def build_midi_extractor(config: dict, dtype=jnp.float32,
+                         mask_attention: bool = True) -> MidiExtractor:
+    """Construct the flagship model from a SOME config dict.
+
+    Pulls ``midi_extractor_args`` plus ``units_dim``/``midi_num_bins``
+    (reference: modules/model/Gmidi_conform.py:26-28).
+    """
+    args = dict(config["midi_extractor_args"])
+    args.pop("indim", None)
+    args.pop("outdim", None)
+    return MidiExtractor(
+        indim=config["units_dim"], outdim=config["midi_num_bins"],
+        dtype=dtype, mask_attention=mask_attention, **args,
+    )

@@ -1,0 +1,47 @@
+"""Quantized binarizer: integer MIDI, rest class 128, integer key shifts
+(reference: preprocessing/me_quant_binarizer.py:22-51)."""
+from __future__ import annotations
+
+import random
+from typing import List
+
+from some_tpu.audio.wavio import load_wav
+from some_tpu.preprocessing.me_binarizer import MIDIExtractionBinarizer
+
+QUANTIZED_MIDI_EXTRACTION_ITEM_ATTRIBUTES = [
+    "units",      # float32 [T_s, C]
+    "pitch",      # float32 [T_s]
+    "note_midi",  # int64 [T_n], 0-127 MIDI / 128 rest
+    "note_dur",   # int64 [T_n] frames
+    "unit2note",  # int64 [T_s]
+]
+
+
+class QuantizedMIDIExtractionBinarizer(MIDIExtractionBinarizer):
+    def __init__(self, config: dict):
+        super().__init__(config)
+        self.round_midi = True
+        self.data_attrs = QUANTIZED_MIDI_EXTRACTION_ITEM_ATTRIBUTES
+
+    def process_item(self, item_name: str, meta_data: dict,
+                     allow_aug: bool = False) -> List[dict]:
+        waveform, _ = load_wav(meta_data["wav_fn"],
+                               sr=self.config["audio_sample_rate"], mono=True)
+        base = self._process_item(waveform, meta_data, int_midi=True)
+        base["note_midi"] = base["note_midi"].copy()
+        base["note_midi"][base["note_rest"]] = 128
+        items = [base]
+        if not allow_aug:
+            return items
+        for _ in range(self.key_shift_factor):
+            assert self.config["units_encoder"] == "mel", \
+                "Units encoder must be mel if augmentation is applied!"
+            shift = random.randint(int(self.key_shift_min), int(self.key_shift_max))
+            aug = dict(base)
+            aug["units"] = self.compute_units(waveform, keyshift=shift)
+            aug["pitch"] = base["pitch"] + shift
+            note_midi = base["note_midi"].copy()
+            note_midi[~base["note_rest"]] += shift
+            aug["note_midi"] = note_midi
+            items.append(aug)
+        return items

@@ -1,0 +1,178 @@
+"""Task abstraction: model + losses + jitted train/valid steps over a mesh.
+
+Functional replacement for the reference's LightningModule tasks
+(reference: training/base_task.py:79-456). A task owns:
+  * the flax model (built from config via the registry),
+  * the optax optimizer/schedule chain (grad-clip folded in),
+  * pure ``loss_fn`` the jitted train step differentiates,
+  * dataset handles + samplers (host plane).
+
+State is an explicit pytree (params / batch_stats / opt_state / step) so the
+whole update is one XLA program: donate the state, shard the batch over the
+mesh's data axis, and GSPMD inserts the gradient psum over ICI — the DDP
+all-reduce with no backend code (SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+import pathlib
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from some_tpu.data.indexed_dataset import IndexedDataset, load_lengths
+from some_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicated_sharding,
+)
+from some_tpu.training.optimizers import build_optimizer
+from some_tpu.training.schedules import build_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+class BaseTask:
+    def __init__(self, config: dict):
+        self.config = config
+        self.timestep = config["hop_size"] / config["audio_sample_rate"]
+        precision = str(config.get("pl_trainer_precision", "32-true"))
+        self.compute_dtype = jnp.bfloat16 if "bf16" in precision else jnp.float32
+        self.model = self.build_model()
+        self.schedule = build_schedule(
+            config["lr_scheduler_args"], config["optimizer_args"]["lr"])
+        self.tx = build_optimizer(
+            config["optimizer_args"], self.schedule,
+            clip_grad_norm=config.get("clip_grad_norm"))
+        self.mesh = None
+        self._train_step = None
+        self._valid_step = None
+
+    # ---- to be provided by subclasses ----
+    def build_model(self):
+        raise NotImplementedError
+
+    def compute_losses(self, outputs, batch) -> Dict[str, jnp.ndarray]:
+        raise NotImplementedError
+
+    def model_inputs(self, batch) -> dict:
+        return dict(x=batch["units"], f0=batch.get("pitch"), mask=batch.get("mask"))
+
+    def valid_outputs(self, outputs, batch) -> dict:
+        """Extra device-side validation products (decodes, metric counters)."""
+        return {}
+
+    # ---- state management ----
+    def init_state(self, seed: int | None = None, example_batch: dict | None = None
+                   ) -> TrainState:
+        seed = self.config["seed"] if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        if example_batch is None:
+            T = 64
+            example_batch = {
+                "units": np.zeros((1, T, self.config["units_dim"]), np.float32),
+                "pitch": np.zeros((1, T), np.float32),
+                "mask": np.ones((1, T), bool),
+            }
+        variables = self.model.init(
+            {"params": rng}, example_batch["units"], f0=example_batch.get("pitch"),
+            mask=example_batch.get("mask"))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, step=jnp.asarray(0, jnp.int32))
+
+    def load_variables(self, variables: dict, state: Optional[TrainState] = None
+                       ) -> TrainState:
+        """Overwrite params/batch_stats (e.g. from a converted torch ckpt)."""
+        if state is None:
+            state = self.init_state()
+        return state.replace(params=variables["params"],
+                             batch_stats=variables.get("batch_stats", state.batch_stats))
+
+    # ---- jitted steps ----
+    def _loss_and_updates(self, params, batch_stats, batch, rng):
+        inputs = self.model_inputs(batch)
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        outputs, new_state = self.model.apply(
+            variables, **inputs, deterministic=False, use_running_average=False,
+            mutable=mutable, rngs={"dropout": rng})
+        losses = self.compute_losses(outputs, batch)
+        total = sum(losses.values())
+        new_bs = new_state.get("batch_stats", batch_stats) if mutable else batch_stats
+        return total, (losses, new_bs)
+
+    def make_train_step(self, mesh=None, donate: bool = True):
+        if mesh is None:
+            mesh = make_mesh()
+        self.mesh = mesh
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        base_rng = jax.random.PRNGKey(self.config["seed"])
+
+        def step_fn(state: TrainState, batch: dict):
+            rng = jax.random.fold_in(base_rng, state.step)
+            grad_fn = jax.value_and_grad(self._loss_and_updates, has_aux=True)
+            (total, (losses, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=new_params, batch_stats=new_bs,
+                                   opt_state=new_opt, step=state.step + 1)
+            logs = {**losses, "total_loss": total,
+                    "grad_norm": optax.global_norm(grads)}
+            return new_state, logs
+
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+        return self._train_step
+
+    def make_valid_step(self, mesh=None):
+        if mesh is None:
+            mesh = self.mesh or make_mesh()
+        repl = replicated_sharding(mesh)
+
+        def step_fn(state: TrainState, batch: dict):
+            inputs = self.model_inputs(batch)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outputs = self.model.apply(variables, **inputs)
+            losses = self.compute_losses(outputs, batch)
+            losses["total_loss"] = sum(losses.values())
+            extras = self.valid_outputs(outputs, batch)
+            return losses, extras
+
+        # validation runs rank-0-only batches; keep it simple and replicated
+        self._valid_step = jax.jit(step_fn, in_shardings=(repl, repl))
+        return self._valid_step
+
+    # ---- datasets (host plane) ----
+    def load_datasets(self):
+        data_dir = pathlib.Path(self.config["binary_data_dir"])
+        train_prefix = self.config.get("train_set_name", "train")
+        valid_prefix = self.config.get("valid_set_name", "valid")
+        train = IndexedDataset(data_dir, train_prefix)
+        valid = IndexedDataset(data_dir, valid_prefix)
+        train_sizes = load_lengths(data_dir, train_prefix)
+        valid_sizes = load_lengths(data_dir, valid_prefix)
+        return (train, train_sizes), (valid, valid_sizes)
+
+    def collate(self, items: list) -> dict:
+        raise NotImplementedError

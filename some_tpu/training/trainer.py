@@ -1,0 +1,239 @@
+"""Training loop: host orchestration around the jitted mesh train step.
+
+Replaces the reference's Lightning Trainer wiring (reference: train.py:60-98,
+training/base_task.py:238-319) with an explicit loop:
+
+  * deterministic epoch-seeded bucketed sampler (host, per process rank)
+  * collate -> static-shape bucket pad -> device_put with batch sharded over
+    the mesh's data axis (grad psum over ICI comes from GSPMD)
+  * jitted donated train step; scalar logs fetched asynchronously
+  * validation every val_check_interval steps (rank 0), with metric counters
+    computed on device and matplotlib figures on host
+  * step-named checkpoints with top-k + permanent retention and auto-resume
+
+Grad accumulation maps to ``required_batch_count_multiple`` exactly as the
+reference sampler does; LR-on-resume needs no "replay" (the optax schedule is
+a pure function of the step counter — reference needed simulate_lr_scheduler,
+utils/__init__.py:272-283, because torch schedulers are stateful).
+"""
+from __future__ import annotations
+
+import logging
+import pathlib
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from some_tpu.data.sampler import BucketBatchSampler, EvalBatchSampler
+from some_tpu.parallel.mesh import make_mesh, shard_batch
+from some_tpu.training.base_task import BaseTask, TrainState
+from some_tpu.training.checkpoint import CheckpointManager, latest_checkpoint, load_any_checkpoint
+
+log = logging.getLogger("some_tpu.trainer")
+
+
+class Trainer:
+    def __init__(self, task: BaseTask, work_dir: pathlib.Path | str,
+                 mesh=None, log_writer=None):
+        self.task = task
+        self.config = task.config
+        self.work_dir = pathlib.Path(work_dir)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ckpt_manager = CheckpointManager(
+            self.work_dir,
+            keep_top_k=self.config.get("num_ckpt_keep", 5),
+            permanent_start=self.config.get("permanent_ckpt_start", 0),
+            permanent_interval=self.config.get("permanent_ckpt_interval", 0),
+        )
+        self.log_writer = log_writer
+        self.max_updates = self.config.get("max_updates", 100000)
+        self.log_interval = self.config.get("log_interval", 100)
+        self.val_check_interval = self.config.get("val_check_interval", 1000)
+        self.num_sanity_val_steps = self.config.get("num_sanity_val_steps", 1)
+
+    # ---- state ----
+    def restore_or_init(self) -> TrainState:
+        ckpt_path = latest_checkpoint(self.work_dir)
+        state = self.task.init_state()
+        if ckpt_path is None and self.config.get("finetune_enabled"):
+            state = self._load_finetune(state)
+            log.info("initialized from finetune checkpoint")
+            return state
+        if ckpt_path is not None:
+            ckpt = load_any_checkpoint(ckpt_path)
+            state = self._restore_from_ckpt(state, ckpt)
+            log.info("resumed from %s at step %d", ckpt_path, int(state.step))
+        return state
+
+    def _restore_from_ckpt(self, state: TrainState, ckpt: dict) -> TrainState:
+        from flax import serialization
+        params = serialization.from_state_dict(state.params, ckpt["params"])
+        batch_stats = serialization.from_state_dict(
+            state.batch_stats, ckpt.get("batch_stats") or {})
+        opt_state = state.opt_state
+        if ckpt.get("opt_state") is not None:
+            opt_state = serialization.from_state_dict(state.opt_state, ckpt["opt_state"])
+        step = int(ckpt.get("meta", {}).get("step", 0))
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, step=np.int32(step))
+
+    def _load_finetune(self, state: TrainState) -> TrainState:
+        """Partial-load a pretrained ckpt with prefix blacklist and
+        shape-mismatch filtering (reference: training/base_task.py:165-213)."""
+        import jax.tree_util as jtu
+
+        ckpt = load_any_checkpoint(self.config["finetune_ckpt_path"])
+        blacklist = tuple(self.config.get("finetune_ignored_params") or [])
+        strict_shapes = self.config.get("finetune_strict_shapes", True)
+
+        def merge(cur_tree, new_tree, collection):
+            cur_flat = dict(jtu.tree_flatten_with_path(cur_tree)[0])
+            new_flat = dict(jtu.tree_flatten_with_path(new_tree)[0])
+            merged = {}
+            for path, cur_leaf in cur_flat.items():
+                name = f"{collection}." + ".".join(
+                    getattr(k, "key", str(k)) for k in path)
+                new_leaf = new_flat.get(path)
+                use_new = (new_leaf is not None
+                           and not any(name.startswith(b) or name.split(".", 1)[-1]
+                                       .startswith(b) for b in blacklist))
+                if use_new and new_leaf.shape != cur_leaf.shape:
+                    if strict_shapes:
+                        raise ValueError(f"shape mismatch for {name}: "
+                                         f"{new_leaf.shape} vs {cur_leaf.shape}")
+                    log.warning("| unmatched key (shape): %s %s vs %s",
+                                name, new_leaf.shape, cur_leaf.shape)
+                    use_new = False
+                merged[path] = np.asarray(new_leaf) if use_new else cur_leaf
+            treedef = jtu.tree_structure(cur_tree)
+            return jtu.tree_unflatten(treedef, [merged[p] for p, _ in
+                                                jtu.tree_flatten_with_path(cur_tree)[0]])
+
+        params = merge(state.params, ckpt["params"], "params")
+        batch_stats = state.batch_stats
+        if ckpt.get("batch_stats"):
+            batch_stats = merge(state.batch_stats, ckpt["batch_stats"], "batch_stats")
+        return state.replace(params=params, batch_stats=batch_stats)
+
+    # ---- logging ----
+    def _log_scalars(self, tag_prefix: str, scalars: dict, step: int):
+        if self.log_writer is None:
+            return
+        for key, value in scalars.items():
+            self.log_writer.add_scalar(f"{tag_prefix}/{key}", float(value), step)
+
+    # ---- main loop ----
+    def fit(self, max_steps: Optional[int] = None):
+        config = self.config
+        (train_ds, train_sizes), (valid_ds, valid_sizes) = self.task.load_datasets()
+        sampler = BucketBatchSampler(
+            sizes=train_sizes,
+            max_batch_frames=config["max_batch_frames"],
+            max_batch_size=config["max_batch_size"],
+            num_replicas=jax.process_count(), rank=jax.process_index(),
+            frame_count_grid=config.get("sampler_frame_count_grid", 6),
+            required_batch_count_multiple=config.get("accumulate_grad_batches", 1),
+            sort_by_similar_size=config.get("sort_by_len", True),
+            shuffle=True, seed=config["seed"])
+        val_sampler = EvalBatchSampler(
+            sizes=valid_sizes,
+            max_batch_frames=config.get("max_val_batch_frames", 10000),
+            max_batch_size=config.get("max_val_batch_size", 1),
+            rank=jax.process_index())
+
+        train_step = self.task.make_train_step(self.mesh)
+        self.task.make_valid_step(self.mesh)
+        state = self.restore_or_init()
+        target = min(self.max_updates, max_steps or self.max_updates)
+
+        if self.num_sanity_val_steps and int(state.step) == 0:
+            self._validate(state, valid_ds, val_sampler,
+                           limit=self.num_sanity_val_steps, sanity=True)
+
+        epoch = 0
+        t_last = time.time()
+        while int(state.step) < target:
+            sampler.set_epoch(epoch)
+            for batch_idx_list in sampler:
+                if int(state.step) >= target:
+                    break
+                items = [train_ds[i] for i in batch_idx_list]
+                batch = self.task.collate(items)
+                batch = shard_batch(batch, self.mesh)
+                state, logs = train_step(state, batch)
+                step = int(state.step)
+                if step % self.log_interval == 0:
+                    scalars = {k: float(v) for k, v in logs.items()}
+                    scalars["lr"] = float(self.task.schedule(step - 1))
+                    scalars["batch_size"] = len(batch_idx_list)
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    scalars["steps_per_sec"] = (
+                        self.log_interval / dt if step > self.log_interval else 0.0)
+                    self._log_scalars("training", scalars, step)
+                    log.info("step %d | %s", step, " ".join(
+                        f"{k}={v:.5g}" for k, v in scalars.items()))
+                if step % self.val_check_interval == 0:
+                    self._validate(state, valid_ds, val_sampler)
+                    self.ckpt_manager.save(
+                        step, state.params, state.batch_stats, state.opt_state)
+            epoch += 1
+
+        final_step = int(state.step)
+        if latest_checkpoint(self.work_dir) is None or \
+                final_step > self.ckpt_manager_last_saved_step():
+            self.ckpt_manager.save(final_step, state.params, state.batch_stats,
+                                   state.opt_state)
+        return state
+
+    def ckpt_manager_last_saved_step(self) -> int:
+        from some_tpu.training.checkpoint import list_checkpoints
+        ckpts = list_checkpoints(self.work_dir)
+        return ckpts[-1][0] if ckpts else -1
+
+    # ---- validation ----
+    def _validate(self, state: TrainState, valid_ds, val_sampler,
+                  limit: Optional[int] = None, sanity: bool = False):
+        if jax.process_index() != 0:
+            return
+        valid_step = self.task._valid_step
+        if valid_step is None:
+            valid_step = self.task.make_valid_step(self.mesh)
+        loss_sums: dict = {}
+        weight_sum = 0
+        acc_correct = 0
+        acc_total = 0
+        num_plots = self.config.get("num_valid_plots", 0)
+        for batch_idx, idx_list in enumerate(val_sampler):
+            if limit is not None and batch_idx >= limit:
+                break
+            items = [valid_ds[i] for i in idx_list]
+            batch = self.task.collate(items)
+            device_batch = shard_batch(batch, self.mesh)
+            losses, extras = valid_step(state, device_batch)
+            for key, value in losses.items():
+                loss_sums[key] = loss_sums.get(key, 0.0) + float(value) * len(idx_list)
+            weight_sum += len(idx_list)
+            if "midi_acc_correct" in extras:
+                acc_correct += int(extras["midi_acc_correct"])
+                acc_total += int(extras["midi_acc_total"])
+            if not sanity and batch_idx < num_plots:
+                try:
+                    self.task.validation_plots(
+                        self, batch_idx, batch, extras, int(state.step))
+                except (AttributeError, NotImplementedError):
+                    pass
+                except Exception as exc:  # plotting must never kill training
+                    log.warning("validation plot failed: %s", exc)
+        if weight_sum:
+            means = {k: v / weight_sum for k, v in loss_sums.items()}
+            self._log_scalars("validation", means, int(state.step))
+            if acc_total:
+                self._log_scalars("metrics", {"midi_acc": acc_correct / acc_total},
+                                  int(state.step))
+                means["midi_acc"] = acc_correct / acc_total
+            log.info("validation @ %d | %s", int(state.step),
+                     " ".join(f"{k}={v:.5g}" for k, v in means.items()))

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from some_tpu.config import deep_update, read_full_config
+from some_tpu.utils.midi_file import MidiFile, build_midi_file, bpm_to_tempo
+from some_tpu.utils.note_names import hz_to_midi, midi_to_hz, midi_to_note, note_to_midi
+from some_tpu.utils.pitch import interp_f0, resample_align_curve
+
+
+class TestNoteNames:
+    @pytest.mark.parametrize("name,midi", [
+        ("C4", 60), ("A4", 69), ("A#3", 58), ("Bb3", 58), ("C-1", 0),
+        ("G9", 127), ("E5", 76), ("F#2", 42),
+    ])
+    def test_note_to_midi_round(self, name, midi):
+        assert note_to_midi(name) == midi
+
+    def test_cents(self):
+        assert note_to_midi("C4+50", round_midi=False) == pytest.approx(60.5)
+        assert note_to_midi("A4-25", round_midi=False) == pytest.approx(68.75)
+
+    def test_midi_to_note_roundtrip(self):
+        for m in range(0, 128):
+            assert note_to_midi(midi_to_note(m)) == m
+
+    def test_midi_to_note_cents_format(self):
+        # librosa midi_to_note(60.3, cents=True, unicode=False) == 'C4+30'
+        assert midi_to_note(60.3, cents=True) == "C4+30"
+        assert midi_to_note(59.8, cents=True) == "C4-20"  # rounds to 60, -20 cents
+
+    def test_midi_to_note_cents_zero(self):
+        # librosa formats zero cents as '+0' ({:+02d} width includes the sign)
+        assert midi_to_note(60.0, cents=True) == "C4+0"
+
+    def test_hz_midi(self):
+        assert hz_to_midi(440.0) == pytest.approx(69.0)
+        assert midi_to_hz(69) == pytest.approx(440.0)
+        assert hz_to_midi(261.6255653) == pytest.approx(60.0, abs=1e-6)
+
+
+class TestPitchUtils:
+    def test_interp_f0(self):
+        f0 = np.array([0.0, 220.0, 0.0, 0.0, 440.0, 0.0], dtype=np.float32)
+        out, uv = interp_f0(f0.copy())
+        assert uv.tolist() == [True, False, True, True, False, True]
+        assert out[1] == pytest.approx(220.0, rel=1e-6)
+        assert out[4] == pytest.approx(440.0, rel=1e-6)
+        # log2-domain linear interpolation between 220 and 440
+        assert out[2] == pytest.approx(220 * 2 ** (1 / 3), rel=1e-5)
+        assert out[3] == pytest.approx(220 * 2 ** (2 / 3), rel=1e-5)
+        # extrapolated edges hold the nearest voiced value
+        assert out[0] == pytest.approx(220.0, rel=1e-6)
+
+    def test_resample_align_curve(self):
+        points = np.arange(10, dtype=np.float32)
+        out = resample_align_curve(points, 0.01, 0.005, 19)
+        assert len(out) == 19
+        # arange excludes t_max, so the 19th point pads with the last value
+        expected = np.concatenate([np.arange(18) * 0.5, [8.5]])
+        np.testing.assert_allclose(out, expected, rtol=1e-6)
+        out_pad = resample_align_curve(points, 0.01, 0.005, 25)
+        assert len(out_pad) == 25
+        assert (out_pad[19:] == out_pad[18]).all()
+
+
+class TestMidiFile:
+    def test_roundtrip(self, tmp_path):
+        mf = MidiFile()
+        mf.add_tempo(120)
+        mf.add_note_on(60, delta=0)
+        mf.add_note_off(60, delta=480)
+        mf.add_note_on(64, delta=240)
+        mf.add_note_off(64, delta=480)
+        path = tmp_path / "test.mid"
+        mf.save(path)
+        loaded = MidiFile.load(path)
+        notes = loaded.notes()
+        assert notes == [
+            {"note": 60, "start_tick": 0, "end_tick": 480},
+            {"note": 64, "start_tick": 720, "end_tick": 1200},
+        ]
+        assert loaded.ticks_per_beat == 480
+        tempos = [e for e in loaded.events if e.kind == "set_tempo"]
+        assert tempos[0].tempo == bpm_to_tempo(120)
+
+    def test_build_midi_file(self, tmp_path):
+        segments = [{
+            "note_midi": np.array([60.2, 64.0, 67.0]),
+            "note_dur": np.array([0.5, 0.5, 1.0]),
+            "note_rest": np.array([False, True, False]),
+        }]
+        mf = build_midi_file([0.25], segments, tempo=120)
+        path = tmp_path / "out.mid"
+        mf.save(path)
+        notes = MidiFile.load(path).notes()
+        # tick = round(sec * 120 * 8); offset 0.25s -> 240 ticks
+        assert notes == [
+            {"note": 60, "start_tick": 240, "end_tick": 240 + 480},
+            {"note": 67, "start_tick": 240 + 960, "end_tick": 240 + 1920},
+        ]
+
+    def test_overlap_clamp(self):
+        segments = [
+            {"note_midi": np.array([60.0]), "note_dur": np.array([10.0]),
+             "note_rest": np.array([False])},
+            {"note_midi": np.array([62.0]), "note_dur": np.array([1.0]),
+             "note_rest": np.array([False])},
+        ]
+        mf = build_midi_file([0.0, 2.0], segments, tempo=120)
+        notes = mf.notes()
+        assert notes[0]["end_tick"] == round(2.0 * 120 * 8)  # clamped
+
+
+class TestConfig:
+    def test_deep_update(self):
+        base = {"a": 1, "b": {"c": 2, "d": 3}}
+        deep_update(base, {"b": {"c": 9}, "e": 5})
+        assert base == {"a": 1, "b": {"c": 9, "d": 3}, "e": 5}
+
+    def test_cascade(self, tmp_path):
+        (tmp_path / "base.yaml").write_text("a: 1\nnested:\n  x: 1\n  y: 2\n")
+        (tmp_path / "child.yaml").write_text(
+            f"base_config:\n  - {tmp_path}/base.yaml\na: 2\nnested:\n  y: 3\n")
+        cfg = read_full_config(tmp_path / "child.yaml")
+        assert cfg == {"a": 2, "nested": {"x": 1, "y": 3}}
