@@ -1,0 +1,94 @@
+"""Headline benchmark: real-time factor of the full waveform->notes pipeline.
+
+Measures audio-seconds transcribed per wall-clock second on one chip, running
+the production continuous model (8 dual-stream conformer layers, dim 512,
+bf16 — reference: configs/midi_conformer.yaml) through the complete jitted
+pipeline: log-mel -> conformer -> framewise decode -> note aggregation.
+
+Reference baselines (BASELINE.md): 9x real-time on i5-12400 CPU, 300x on a
+3080Ti (README.md:12). vs_baseline is measured against the 300x GPU figure.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 300.0  # reference's best published figure (RTX 3080 Ti)
+
+
+def build_engine(batch_chunks: int = 8):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    config = _flagship_config(
+        lay=int(os.environ.get("SOME_BENCH_LAY", 8)),
+        dim=int(os.environ.get("SOME_BENCH_DIM", 512)))
+    if config["midi_extractor_args"]["dim"] < 128:
+        config["midi_extractor_args"]["attention_heads"] = 2
+    model = build_midi_extractor(config, dtype=jnp.bfloat16)
+    # Random-init weights time the same compute graph as trained ones.
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 256, config["units_dim"]), np.float32),
+        mask=np.ones((1, 256), bool))
+    engine = MIDIExtractionInference.from_variables(
+        config, variables, max_batch_chunks=batch_chunks)
+    return engine, config
+
+
+def main() -> None:
+    import os
+
+    import jax
+
+    engine, config = build_engine()
+    sr = config["audio_sample_rate"]
+    # smoke-test knobs (SOME_BENCH_*); production defaults otherwise
+    B = int(os.environ.get("SOME_BENCH_B", 8))   # chunks per call
+    T = int(os.environ.get("SOME_BENCH_T", 4096))  # frames/chunk (~47.6 s)
+    iters = int(os.environ.get("SOME_BENCH_ITERS", 5))
+    n_samples = T * engine.hop - 1
+
+    rng = np.random.default_rng(0)
+    t = np.arange(n_samples) / sr
+    audio = np.stack([
+        (0.3 * np.sin(2 * np.pi * (220 + 40 * i) * t)
+         + 0.01 * rng.standard_normal(n_samples)).astype(np.float32)
+        for i in range(B)])
+    mask = np.ones((B, T), bool)
+
+    out = engine.run_bucket(audio, mask)    # warmup / compile
+    jax.block_until_ready(out)
+
+    audio_seconds = B * n_samples / sr
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = engine.run_bucket(audio, mask)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    rtf = audio_seconds * iters / elapsed
+    args = config["midi_extractor_args"]
+    print(json.dumps({
+        "metric": "inference_rtf_x_realtime",
+        "value": round(rtf, 1),
+        "unit": (f"audio-sec/sec (full wav->notes pipeline, 1 chip, bf16 "
+                 f"{args['lay']}x{args['dim']} conformer, B={B} T={T})"),
+        "vs_baseline": round(rtf / BASELINE_RTF, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,10 +51,20 @@ class BaseInference:
         self.model = self.build_model()
         self.variables = self.load_variables()
 
+    @classmethod
+    def from_variables(cls, config: dict, variables: dict, **kwargs):
+        """Construct an engine from in-memory flax variables (no ckpt file)."""
+        engine = cls.__new__(cls)
+        engine._preloaded_variables = variables
+        cls.__init__(engine, config, model_path="<in-memory>", **kwargs)
+        return engine
+
     def build_model(self):
         return build_midi_extractor(self.config, dtype=self.dtype)
 
     def load_variables(self) -> dict:
+        if getattr(self, "_preloaded_variables", None) is not None:
+            return self._preloaded_variables
         ckpt = load_any_checkpoint(self.model_path)
         variables = {"params": ckpt["params"]}
         if ckpt.get("batch_stats"):
