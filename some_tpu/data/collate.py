@@ -46,6 +46,7 @@ def bucket_batch_size(b: int) -> int:
 
 
 def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
+                  min_batch: int = 1,
                   length_keys: tuple = ("units", "pitch", "unit2note"),
                   note_keys: tuple = ("note_midi", "note_rest", "note_dur"),
                   note_pad_values: dict | None = None) -> dict:
@@ -59,7 +60,7 @@ def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
     any_seq = out[length_keys[0]]
     B, T = any_seq.shape[0], any_seq.shape[1]
     T_pad = bucket_length(T, length_grid)
-    B_pad = bucket_batch_size(B) if pad_batch else B
+    B_pad = bucket_batch_size(max(B, min_batch)) if pad_batch else B
 
     def pad_arr(arr, target_t, pad_value=0):
         pads = [(0, B_pad - arr.shape[0]), (0, target_t - arr.shape[1])]

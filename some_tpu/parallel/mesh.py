@@ -48,9 +48,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     out = {}
     for key, value in batch.items():
         if np.ndim(value) == 0:
-            out[key] = value
-        else:
-            arr = np.asarray(value)
-            sh = data_sh if arr.shape[0] % mesh.devices.size == 0 else repl
-            out[key] = jax.device_put(arr, sh)
+            continue  # host metadata (e.g. 'size') stays off-device
+        arr = np.asarray(value)
+        sh = data_sh if arr.shape[0] % mesh.devices.size == 0 else repl
+        out[key] = jax.device_put(arr, sh)
     return out

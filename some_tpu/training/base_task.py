@@ -52,6 +52,7 @@ class BaseTask:
             config["optimizer_args"], self.schedule,
             clip_grad_norm=config.get("clip_grad_norm"))
         self.mesh = None
+        self.dp_size = 1
         self._train_step = None
         self._valid_step = None
 
@@ -118,6 +119,7 @@ class BaseTask:
         if mesh is None:
             mesh = make_mesh()
         self.mesh = mesh
+        self.dp_size = int(mesh.devices.size)
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         base_rng = jax.random.PRNGKey(self.config["seed"])
@@ -135,9 +137,10 @@ class BaseTask:
                     "grad_norm": optax.global_norm(grads)}
             return new_state, logs
 
+        del data  # batch arrays carry their sharding from shard_batch()
         self._train_step = jax.jit(
             step_fn,
-            in_shardings=(repl, data),
+            in_shardings=(repl, None),
             out_shardings=(repl, repl),
             donate_argnums=(0,) if donate else (),
         )
@@ -160,7 +163,7 @@ class BaseTask:
             return losses, extras
 
         # validation runs rank-0-only batches; keep it simple and replicated
-        self._valid_step = jax.jit(step_fn, in_shardings=(repl, repl))
+        self._valid_step = jax.jit(step_fn, in_shardings=(repl, None))
         return self._valid_step
 
     # ---- datasets (host plane) ----

@@ -123,6 +123,7 @@ class QuantizedMIDIExtractionTask(MIDIExtractionTask):
         return pad_to_bucket(
             batch,
             length_grid=int(self.config.get("frame_bucket_grid", 128)),
+            min_batch=self.dp_size,
             length_keys=("units", "pitch", "unit2note"),
             note_keys=("note_midi", "note_dur", "note_mask"),
             note_pad_values={"note_midi": -1},

@@ -1,0 +1,200 @@
+"""End-to-end training smoke: synthetic binarized dataset -> Trainer.fit ->
+checkpoint -> resume. Exercises sampler determinism, bucket collation, the
+mesh train step, loss plumbing, checkpoint retention, and auto-resume."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from some_tpu.data.indexed_dataset import IndexedDataset, IndexedDatasetWriter, save_lengths
+
+TINY_CONFIG = {
+    "audio_sample_rate": 44100, "hop_size": 512, "win_size": 2048,
+    "fmin": 40, "fmax": 8000, "units_dim": 16, "midi_num_bins": 128,
+    "midi_min": 0, "midi_max": 127, "midi_prob_deviation": 1.0,
+    "rest_threshold": 0.1, "seed": 114514,
+    "use_midi_loss": True, "use_bound_loss": True,
+    "optimizer_args": {"optimizer_cls": "torch.optim.AdamW", "lr": 1e-3,
+                       "beta1": 0.9, "beta2": 0.98, "weight_decay": 0},
+    "lr_scheduler_args": {"scheduler_cls": "lr_scheduler.scheduler.WarmupLR",
+                          "warmup_steps": 10, "min_lr": 1e-5},
+    "clip_grad_norm": 1,
+    "midi_extractor_args": {
+        "lay": 1, "dim": 32, "use_lay_skip": True, "kernel_size": 7,
+        "conv_drop": 0.1, "ffn_latent_drop": 0.1, "ffn_out_drop": 0.1,
+        "attention_drop": 0.1, "attention_heads": 2, "attention_heads_dim": 16,
+    },
+    "max_batch_frames": 2000, "max_batch_size": 4,
+    "max_val_batch_frames": 2000, "max_val_batch_size": 1,
+    "num_valid_plots": 0, "log_interval": 1, "num_sanity_val_steps": 0,
+    "val_check_interval": 2, "num_ckpt_keep": 2, "max_updates": 100,
+    "permanent_ckpt_start": 0, "permanent_ckpt_interval": 0,
+    "sampler_frame_count_grid": 6, "accumulate_grad_batches": 1,
+    "sort_by_len": True, "frame_bucket_grid": 32,
+    "train_set_name": "train", "valid_set_name": "valid",
+}
+
+
+def make_item(rng, n_frames, n_notes, units_dim=16, quant=False):
+    note_dur = rng.multinomial(
+        n_frames - n_notes, np.ones(n_notes) / n_notes) + 1
+    unit2note = np.repeat(np.arange(1, n_notes + 1), note_dur)
+    if quant:
+        note_midi = rng.integers(40, 80, n_notes).astype(np.int64)
+        rest = rng.random(n_notes) < 0.2
+        note_midi[rest] = 128
+        extra = {"note_midi": note_midi}
+    else:
+        extra = {
+            "note_midi": rng.uniform(40, 80, n_notes).astype(np.float32),
+            "note_rest": (rng.random(n_notes) < 0.2),
+        }
+    return {
+        "units": rng.standard_normal((n_frames, units_dim)).astype(np.float32),
+        "pitch": rng.uniform(40, 80, n_frames).astype(np.float32),
+        "note_dur": note_dur.astype(np.int64),
+        "unit2note": unit2note.astype(np.int64),
+        "length": n_frames,
+        "seconds": n_frames * 512 / 44100,
+        **extra,
+    }
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    data_dir = tmp_path / "binary"
+    data_dir.mkdir()
+    for prefix, n_items in [("train", 6), ("valid", 2)]:
+        lengths = []
+        with IndexedDatasetWriter(data_dir, prefix) as writer:
+            for _ in range(n_items):
+                item = make_item(rng, int(rng.integers(40, 120)), int(rng.integers(3, 8)))
+                writer.add_item(item)
+                lengths.append(item["length"])
+        save_lengths(data_dir, prefix, lengths)
+    return data_dir
+
+
+def test_trainer_fit_and_resume(tiny_dataset, tmp_path):
+    from some_tpu.parallel.mesh import make_mesh
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from some_tpu.training.trainer import Trainer
+    from some_tpu.training.checkpoint import list_checkpoints
+    import jax
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = str(tiny_dataset)
+    work_dir = tmp_path / "work"
+
+    mesh = make_mesh(jax.devices()[:2])
+    task = MIDIExtractionTask(config)
+    trainer = Trainer(task, work_dir, mesh=mesh)
+    state = trainer.fit(max_steps=3)
+    assert int(state.step) == 3
+    ckpts = list_checkpoints(work_dir)
+    assert len(ckpts) >= 1 and ckpts[-1][0] == 3
+
+    # resume: a fresh trainer picks up step 3 and continues to 5
+    task2 = MIDIExtractionTask(dict(config))
+    trainer2 = Trainer(task2, work_dir, mesh=mesh)
+    state2 = trainer2.fit(max_steps=5)
+    assert int(state2.step) == 5
+    steps = [s for s, _ in list_checkpoints(work_dir)]
+    assert 5 in steps
+    # retention: num_ckpt_keep=2
+    assert len(steps) <= 2
+
+
+def test_train_step_loss_decreases(tiny_dataset):
+    """Overfit one batch for a few steps; total loss must go down."""
+    from some_tpu.parallel.mesh import make_mesh, shard_batch
+    from some_tpu.training.me_task import MIDIExtractionTask
+    import jax
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = str(tiny_dataset)
+    task = MIDIExtractionTask(config)
+    mesh = make_mesh(jax.devices()[:1])
+    train_step = task.make_train_step(mesh)
+
+    ds = IndexedDataset(tiny_dataset, "train")
+    batch = task.collate([ds[0], ds[1]])
+    device_batch = shard_batch(batch, mesh)
+    state = task.init_state(example_batch=batch)
+    losses = []
+    for _ in range(8):
+        state, logs = train_step(state, device_batch)
+        losses.append(float(logs["total_loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_quant_task_step(tmp_path, rng):
+    from some_tpu.parallel.mesh import make_mesh, shard_batch
+    from some_tpu.training.me_quant_task import QuantizedMIDIExtractionTask
+    import jax
+
+    data_dir = tmp_path / "binary"
+    data_dir.mkdir()
+    for prefix, n_items in [("train", 4), ("valid", 1)]:
+        lengths = []
+        with IndexedDatasetWriter(data_dir, prefix) as writer:
+            for _ in range(n_items):
+                item = make_item(rng, 64, 5, quant=True)
+                writer.add_item(item)
+                lengths.append(item["length"])
+        save_lengths(data_dir, prefix, lengths)
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = str(data_dir)
+    config["midi_num_bins"] = 129
+    task = QuantizedMIDIExtractionTask(config)
+    mesh = make_mesh(jax.devices()[:1])
+    train_step = task.make_train_step(mesh)
+    ds = IndexedDataset(data_dir, "train")
+    batch = task.collate([ds[0], ds[1]])
+    state = task.init_state(example_batch=batch)
+    state, logs = train_step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(logs["total_loss"]))
+    assert int(state.step) == 1
+
+    # valid step with metric counters
+    valid_step = task.make_valid_step(mesh)
+    losses, extras = valid_step(state, shard_batch(batch, mesh))
+    assert "midi_acc_correct" in extras
+    assert int(extras["midi_acc_total"]) > 0
+
+
+def test_sampler_determinism_and_partition(rng):
+    from some_tpu.data.sampler import BucketBatchSampler
+
+    sizes = rng.integers(50, 500, 64)
+    samplers = [BucketBatchSampler(sizes, max_batch_frames=2000, max_batch_size=8,
+                                   num_replicas=4, rank=r, seed=7)
+                for r in range(4)]
+    for s in samplers:
+        s.set_epoch(3)
+    batches = [s.form_batches() for s in samplers]
+    # determinism
+    again = samplers[0].form_batches()
+    assert batches[0] == again
+    # all ranks get equal batch counts
+    counts = {len(b) for b in batches}
+    assert len(counts) == 1
+    # frame budget respected (padded cost)
+    for rank_batches in batches:
+        for b in rank_batches:
+            assert len(b) * max(sizes[i] for i in b) <= 2000 or len(b) == 1
+
+
+def test_warmup_lr_matches_torch_semantics():
+    """WarmupLR values match the reference formula incl. the min_lr floor."""
+    from some_tpu.training.schedules import WarmupLR
+
+    sched = WarmupLR(lr=1e-4, warmup_steps=100, min_lr=1e-5)
+    # during warmup: linear-ish ramp, no floor
+    v1 = float(sched(0))
+    assert v1 == pytest.approx(1e-4 * 100 ** 0.5 * 1 * 100 ** -1.5)
+    # at peak (step_num == warmup_steps): exactly base lr
+    assert float(sched(99)) == pytest.approx(1e-4)
+    # long after warmup: floored
+    assert float(sched(10_000_000)) == pytest.approx(1e-5)
