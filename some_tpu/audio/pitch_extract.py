@@ -58,18 +58,20 @@ def yin_pitch(waveform: np.ndarray, sample_rate: int, hop_size: int, length: int
         x_p, shape=(len(starts), win),
         strides=(x_p.strides[0] * hop_size, x_p.strides[0]), writeable=False)
 
-    # difference function d(tau) = r(0) + r_tau(0) - 2*corr(tau), via FFT
+    # difference function d(tau) = sum_{j<W} (x[j] - x[j+tau])^2
+    #                  = e0 + e_tau - 2 * corr(tau), corr via FFT
     W = win // 2
     fsize = 1 << int(np.ceil(np.log2(win + W)))
-    fft = np.fft.rfft(frames, fsize)
-    # autocorrelation of each frame
-    acf = np.fft.irfft(fft * np.conj(fft), fsize)[:, :W + 1]
+    fft_full = np.fft.rfft(frames, fsize)
+    fft_head = np.fft.rfft(frames[:, :W], fsize)
+    # corr[tau] = sum_{j=0}^{W-1} x[j] * x[j+tau]  (template restricted to W)
+    corr = np.fft.irfft(fft_full * np.conj(fft_head), fsize)[:, :W + 1]
     sq = frames ** 2
     csum = np.concatenate(
         [np.zeros((len(starts), 1)), np.cumsum(sq, axis=1)], axis=1)
     energy0 = csum[:, W:W + 1] - csum[:, :1]          # energy of x[0:W]
     energy_tau = csum[:, W:2 * W + 1] - csum[:, :W + 1]  # energy of x[tau:tau+W]
-    diff = energy0 + energy_tau - 2 * acf             # [F, W+1]
+    diff = np.maximum(energy0 + energy_tau - 2 * corr, 0.0)  # [F, W+1]
 
     # cumulative mean normalized difference
     tau = np.arange(1, W + 1)
@@ -83,6 +85,8 @@ def yin_pitch(waveform: np.ndarray, sample_rate: int, hop_size: int, length: int
     first_below = np.where(below.any(axis=1), below.argmax(axis=1),
                            seg.argmin(axis=1))
     voiced = below.any(axis=1) | (seg.min(axis=1) < 0.3)
+    # energy gate: silent frames are never voiced
+    voiced &= energy0[:, 0] > 1e-6 * W
     tau_est = first_below + lo
 
     # refine: local minimum then parabolic interpolation
@@ -106,8 +110,9 @@ def yin_pitch(waveform: np.ndarray, sample_rate: int, hop_size: int, length: int
     uv = f0 == 0
     if interp_uv and (~uv).any():
         f0, uv = interp_f0(f0, uv)
-    elif uv.all():
-        f0 = np.full(length, 150.0, dtype=np.float32)  # degenerate all-unvoiced
+    elif interp_uv and uv.all():
+        # degenerate all-unvoiced input: avoid hz_to_midi(-inf) downstream
+        f0 = np.full(length, 150.0, dtype=np.float32)
     return f0, uv
 
 

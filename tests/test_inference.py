@@ -1,0 +1,209 @@
+"""Inference engine, export artifact, and host pipeline pieces."""
+import numpy as np
+import pytest
+
+TINY_MODEL_CONFIG = {
+    "audio_sample_rate": 44100, "hop_size": 512, "win_size": 2048,
+    "fmin": 40, "fmax": 8000, "units_dim": 80, "midi_num_bins": 128,
+    "midi_min": 0, "midi_max": 127, "midi_prob_deviation": 1.0,
+    "rest_threshold": 0.1, "units_encoder": "mel",
+    "task_cls": "training.MIDIExtractionTask",
+    "midi_extractor_args": {
+        "lay": 1, "dim": 32, "use_lay_skip": True, "kernel_size": 7,
+        "conv_drop": 0.1, "ffn_latent_drop": 0.1, "ffn_out_drop": 0.1,
+        "attention_drop": 0.1, "attention_heads": 2, "attention_heads_dim": 16,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    config = dict(TINY_MODEL_CONFIG)
+    model = build_midi_extractor(config, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 80), np.float32),
+                           mask=np.ones((1, 64), bool))
+    return MIDIExtractionInference.from_variables(
+        config, variables, dtype=jnp.float32)
+
+
+def synth(seconds, freq=440.0, sr=44100, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.4 * np.sin(2 * np.pi * freq * t)
+            + 0.005 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+class TestBuckets:
+    def test_pick_bucket(self):
+        from some_tpu.inference.base_infer import pick_bucket
+        assert pick_bucket(1) == 128
+        assert pick_bucket(128) == 128
+        assert pick_bucket(129) == 192
+        assert pick_bucket(5000) == 6144
+        with pytest.raises(ValueError):
+            pick_bucket(10 ** 9)
+
+    def test_engine_bucketing_matches_exact_shapes(self, engine):
+        """A chunk inferred inside a padded batched bucket must yield the
+        same notes as the same chunk inferred alone (mask exactness)."""
+        w1 = synth(1.0, 440, seed=1)   # ~87 frames -> bucket 128
+        w2 = synth(1.4, 523, seed=2)   # ~121 frames -> same bucket
+        both = engine.infer([w1, w2])
+        solo = engine.infer([w2])
+        np.testing.assert_allclose(both[1]["note_midi"], solo[0]["note_midi"],
+                                   atol=1e-3)
+        np.testing.assert_array_equal(both[1]["note_rest"], solo[0]["note_rest"])
+        np.testing.assert_allclose(both[1]["note_dur"], solo[0]["note_dur"],
+                                   atol=1e-9)
+
+    def test_note_durations_cover_chunk(self, engine):
+        w = synth(2.0, 440)
+        out = engine.infer([w])[0]
+        n_frames = len(w) // 512 + 1
+        assert out["note_dur"].sum() == pytest.approx(n_frames * engine.timestep,
+                                                      rel=1e-6)
+        assert (out["note_midi"] >= 0).all() and (out["note_midi"] <= 127).all()
+
+
+class TestExportRoundtrip:
+    def test_stablehlo_export_and_reload(self, engine, tmp_path):
+        from some_tpu.deployment.export import load_exported
+
+        import jax
+        from jax import export as jexport
+
+        # export two buckets on CPU only (test environment)
+        out_dir = tmp_path / "artifact"
+        out_dir.mkdir()
+        import json
+        manifest = {}
+        hop = engine.hop
+        for bucket in (128, 256):
+            n_samples = bucket * hop - 1
+            fn = jax.jit(engine._device_pipeline)
+            exported = jexport.export(fn, platforms=["cpu"])(
+                jax.ShapeDtypeStruct((1, n_samples), np.float32),
+                jax.ShapeDtypeStruct((1, bucket), np.bool_))
+            name = f"bucket_{bucket}.stablehlo"
+            (out_dir / name).write_bytes(exported.serialize())
+            manifest[str(bucket)] = {"file": name, "n_samples": n_samples,
+                                     "frames": bucket}
+        (out_dir / "manifest.json").write_text(json.dumps({
+            "format": "some-tpu-stablehlo-v1", "sample_rate": 44100,
+            "hop_size": hop, "timestep": engine.timestep, "buckets": manifest}))
+
+        pipeline = load_exported(out_dir)
+        w = synth(1.0, 440)
+        exported_out = pipeline(w)
+        engine_out = engine.infer([w])[0]
+        np.testing.assert_allclose(exported_out["note_midi"],
+                                   engine_out["note_midi"], atol=1e-3)
+        np.testing.assert_array_equal(exported_out["note_rest"],
+                                      engine_out["note_rest"])
+
+
+class TestCheckpointStore:
+    def test_save_load_retention_permanent(self, tmp_path, rng):
+        from some_tpu.training.checkpoint import (
+            CheckpointManager, latest_checkpoint, load_any_checkpoint,
+        )
+
+        params = {"layer": {"kernel": rng.standard_normal((4, 4)).astype(np.float32)}}
+        mgr = CheckpointManager(tmp_path, keep_top_k=2,
+                                permanent_start=2000, permanent_interval=2000)
+        for step in (1000, 2000, 3000, 4000, 5000):
+            mgr.save(step, params, batch_stats={}, opt_state=None)
+        steps = sorted(int(p.name.split("_")[-1].split(".")[0])
+                       for p in tmp_path.glob("*.ckpt"))
+        # 2000 and 4000 are permanent; last two deletable kept
+        assert 2000 in steps and 4000 in steps and 5000 in steps
+        assert 1000 not in steps
+        assert latest_checkpoint(tmp_path).name == "model_ckpt_steps_5000.ckpt"
+
+        ckpt = load_any_checkpoint(latest_checkpoint(tmp_path))
+        np.testing.assert_array_equal(ckpt["params"]["layer"]["kernel"],
+                                      params["layer"]["kernel"])
+        assert ckpt["meta"]["step"] == 5000
+
+    def test_torch_checkpoint_autodetect(self, tmp_path):
+        import torch
+
+        from some_tpu.training.checkpoint import load_any_checkpoint
+        from tests.torch_oracle import OracleModel
+
+        model = OracleModel(1, 32, 16, 32, kernel_size=7, heads=2, dim_head=16)
+        ckpt_path = tmp_path / "ref.ckpt"
+        torch.save({"state_dict": {f"model.{k}": v for k, v in
+                                   model.state_dict().items()}}, ckpt_path)
+        ckpt = load_any_checkpoint(ckpt_path)
+        assert ckpt["meta"]["format"] == "torch-converted"
+        assert "in_proj_midi" in ckpt["params"]["backbone"]
+
+    def test_simplify(self, tmp_path, rng):
+        from some_tpu.training.checkpoint import (
+            load_any_checkpoint, save_checkpoint, simplify_checkpoint,
+        )
+        params = {"w": rng.standard_normal((2, 2)).astype(np.float32)}
+        opt_state = {"momentum": {"w": np.ones((2, 2), np.float32)}}
+        src = save_checkpoint(tmp_path, 7, params, {}, opt_state)
+        dst = tmp_path / "slim.ckpt"
+        simplify_checkpoint(src, dst)
+        slim = load_any_checkpoint(dst)
+        assert slim["opt_state"] is None
+        np.testing.assert_array_equal(slim["params"]["w"], params["w"])
+        assert dst.stat().st_size < src.stat().st_size
+
+
+class TestSlicer:
+    def test_no_silence_returns_whole(self):
+        from some_tpu.audio.slicer import SilenceSlicer
+        w = synth(6.0, 440)
+        chunks = SilenceSlicer(sr=44100, max_sil_kept=1000).slice(w)
+        assert len(chunks) == 1
+        assert chunks[0]["offset"] == 0
+        np.testing.assert_array_equal(chunks[0]["waveform"], w)
+
+    def test_short_input_passthrough(self):
+        from some_tpu.audio.slicer import SilenceSlicer
+        w = synth(2.0, 440)  # below min_length of 5 s
+        chunks = SilenceSlicer(sr=44100, max_sil_kept=1000).slice(w)
+        assert len(chunks) == 1
+
+    def test_splits_on_silence(self):
+        from some_tpu.audio.slicer import SilenceSlicer
+        w = np.concatenate([synth(6.0, 440), np.zeros(44100, np.float32),
+                            synth(6.0, 523)])
+        chunks = SilenceSlicer(sr=44100, max_sil_kept=1000).slice(w)
+        assert len(chunks) == 2
+        assert chunks[1]["offset"] > 6.0
+        # offsets are sample-accurate: chunk content matches the source
+        for c in chunks:
+            start = int(round(c["offset"] * 44100))
+            np.testing.assert_array_equal(
+                c["waveform"], w[start:start + len(c["waveform"])])
+
+
+class TestYinPitch:
+    @pytest.mark.parametrize("freq", [110.0, 220.0, 440.0])
+    def test_sine_frequency(self, freq):
+        from some_tpu.audio.pitch_extract import yin_pitch
+        sr = 44100
+        w = synth(1.0, freq, seed=3)
+        length = len(w) // 512 + 1
+        f0, uv = yin_pitch(w, sr, 512, length, interp_uv=True)
+        assert len(f0) == length
+        mid = f0[len(f0) // 4: 3 * len(f0) // 4]
+        assert np.median(mid) == pytest.approx(freq, rel=0.02)
+
+    def test_silence_is_unvoiced(self):
+        from some_tpu.audio.pitch_extract import yin_pitch
+        w = np.zeros(44100, np.float32)
+        f0, uv = yin_pitch(w, 44100, 512, 87, interp_uv=False)
+        assert uv.all() or (f0 == 150.0).all()
