@@ -1,0 +1,406 @@
+"""RMVPE vocal pitch estimator, ported to JAX/flax.
+
+Architecture parity with the reference port of RMVPE
+(reference: modules/rmvpe/model.py, deepunet.py, seq.py, constants.py):
+E2E0 = 5-level residual-conv U-Net over [B, T, 128-mel, 1] (avg-pool down,
+transposed-conv up) -> 3-channel conv -> 1-layer BiGRU (256 hidden each way,
+via lax.scan) -> Linear -> sigmoid over 360 20-cent pitch classes.
+
+The published ``model.pt`` checkpoint loads through
+``convert_rmvpe_state_dict`` (torch layout -> flax tree; the TimbreFilter
+parameters exist in the checkpoint but are dead weight upstream too —
+DeepUnet0.forward never calls them — so they are dropped).
+
+Inference wrapper parity (reference: modules/rmvpe/inference.py:13-66):
+resample to 16 kHz, log-mel (128 mels, win 1024, hop 160, fmin 30, fmax 8000),
+pad T to a multiple of 32, forward, local-average (or Viterbi) decode to f0,
+unvoiced interpolation, resample the curve to the caller's hop grid.
+"""
+from __future__ import annotations
+
+import pathlib
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16000
+N_CLASS = 360
+N_MELS = 128
+MEL_FMIN = 30
+MEL_FMAX = 8000
+WINDOW_LENGTH = 1024
+HOP_LENGTH = 160
+CENTS_CONST = 1997.3794084376191
+
+
+# ---------------------------------------------------------------- modules
+class ConvBlockRes(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                    name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-5, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                    name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-5, name="bn2")(h)
+        h = nn.relu(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+        return h + x
+
+
+class ResEncoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int = 4
+    pool: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_blocks):
+            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(x, train)
+        if self.pool:
+            pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            return x, pooled
+        return x
+
+
+class ResDecoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int = 4
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        # torch ConvTranspose2d(k=3, stride=2, padding=1, output_padding=1)
+        # == lhs-dilated conv with flipped kernel, pad (1, 2) per spatial dim
+        kernel = self.param(
+            "up_kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.out_channels), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1),
+            padding=((1, 2), (1, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-5, name="up_bn")(y)
+        y = nn.relu(y)
+        y = jnp.concatenate([y, skip], axis=-1)
+        for i in range(self.n_blocks):
+            y = ConvBlockRes(self.out_channels, name=f"block_{i}")(y, train)
+        return y
+
+
+class DeepUnet(nn.Module):
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    n_blocks: int = 4
+    en_out_channels: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-5, name="in_bn")(x)
+        skips = []
+        channels = self.en_out_channels
+        for i in range(self.en_de_layers):
+            skip, x = ResEncoderBlock(channels, self.n_blocks,
+                                      name=f"enc_{i}")(x, train)
+            skips.append(skip)
+            channels *= 2
+        # intermediate: first block doubles channels, rest keep
+        x = ResEncoderBlock(channels, self.n_blocks, pool=False,
+                            name="inter_0")(x, train)
+        for i in range(1, self.inter_layers):
+            x = ResEncoderBlock(channels, self.n_blocks, pool=False,
+                                name=f"inter_{i}")(x, train)
+        for i in range(self.en_de_layers):
+            channels //= 2
+            x = ResDecoderBlock(channels, self.n_blocks,
+                                name=f"dec_{i}")(x, skips[-1 - i], train)
+        return x
+
+
+def _gru_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
+    """Single-direction GRU over [B, T, C] -> [B, T, H] (torch gate order r,z,n)."""
+    H = w_hh.shape[1]
+    x_proj = jnp.einsum("btc,gc->btg", x, w_ih) + b_ih  # [B, T, 3H]
+
+    def cell(h, xt):
+        xr, xz, xn = xt[:, :H], xt[:, H:2 * H], xt[:, 2 * H:]
+        hr = h @ w_hh[:H].T + b_hh[:H]
+        hz = h @ w_hh[H:2 * H].T + b_hh[H:2 * H]
+        hn = h @ w_hh[2 * H:].T + b_hh[2 * H:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1 - z) * n + z * h
+        return h_new, h_new
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 3H]
+    if reverse:
+        xs = xs[::-1]
+    h0 = jnp.zeros((x.shape[0], H), x.dtype)
+    _, ys = jax.lax.scan(cell, h0, xs)
+    if reverse:
+        ys = ys[::-1]
+    return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+class BiGRU(nn.Module):
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        shape_ih = (3 * self.hidden, C)
+        shape_hh = (3 * self.hidden, self.hidden)
+        init = nn.initializers.lecun_normal()
+        fw = _gru_scan(
+            x,
+            self.param("w_ih_fw", init, shape_ih, jnp.float32),
+            self.param("w_hh_fw", init, shape_hh, jnp.float32),
+            self.param("b_ih_fw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32),
+            self.param("b_hh_fw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32))
+        bw = _gru_scan(
+            x,
+            self.param("w_ih_bw", init, shape_ih, jnp.float32),
+            self.param("w_hh_bw", init, shape_hh, jnp.float32),
+            self.param("b_ih_bw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32),
+            self.param("b_hh_bw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32),
+            reverse=True)
+        return jnp.concatenate([fw, bw], axis=-1)
+
+
+class E2E0(nn.Module):
+    """mel [B, T, 128] -> pitch-class probabilities [B, T, 360]."""
+    n_blocks: int = 4
+    n_gru: int = 1
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    en_out_channels: int = 16
+
+    @nn.compact
+    def __call__(self, mel, train: bool = False):
+        x = mel[..., None]  # [B, T, M, 1]
+        x = DeepUnet(self.en_de_layers, self.inter_layers, self.n_blocks,
+                     self.en_out_channels, name="unet")(x, train)
+        x = nn.Conv(3, (3, 3), padding=1, name="head_conv")(x)  # [B, T, M, 3]
+        B, T, M = x.shape[0], x.shape[1], x.shape[2]
+        # torch: transpose(1,2).flatten(-2) on [B,3,T,M] -> [B,T,3*M]
+        x = jnp.swapaxes(x, 2, 3).reshape(B, T, 3 * M)
+        if self.n_gru:
+            x = BiGRU(256, name="gru")(x)
+        x = nn.Dense(N_CLASS, name="fc")(x)
+        return jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------- decode
+def local_average_cents(hidden: np.ndarray, center: Optional[np.ndarray] = None,
+                        thred: float = 0.03) -> np.ndarray:
+    """Prob-weighted average over argmax+-4 bins -> f0 Hz, unvoiced -> 0
+    (reference: modules/rmvpe/utils.py:8-24)."""
+    hidden = np.asarray(hidden)
+    idx = np.arange(N_CLASS)[None, None, :]
+    idx_cents = idx * 20 + CENTS_CONST
+    if center is None:
+        center = np.argmax(hidden, axis=2, keepdims=True)
+    start = np.clip(center - 4, 0, None)
+    end = np.clip(center + 5, None, N_CLASS)
+    mask = (idx >= start) & (idx < end)
+    weights = hidden * mask
+    product_sum = np.sum(weights * idx_cents, axis=2)
+    weight_sum = np.sum(weights, axis=2)
+    cents = product_sum / (weight_sum + (weight_sum == 0))
+    f0 = 10 * 2 ** (cents / 1200)
+    uv = hidden.max(axis=2) < thred
+    return (f0 * ~uv).squeeze(0)
+
+
+def viterbi_cents(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
+    """Viterbi-smoothed decode (reference: modules/rmvpe/utils.py:27-43),
+    with a self-contained numpy Viterbi replacing librosa.sequence.viterbi."""
+    xx, yy = np.meshgrid(range(N_CLASS), range(N_CLASS))
+    transition = np.maximum(30 - abs(xx - yy), 0).astype(np.float64)
+    transition = transition / transition.sum(axis=1, keepdims=True)
+
+    prob = np.asarray(hidden, dtype=np.float64).squeeze(0).T  # [N, T]
+    prob = prob / prob.sum(axis=0, keepdims=True)
+
+    log_trans = np.log(transition + 1e-300)
+    log_prob = np.log(prob + 1e-300)
+    T = log_prob.shape[1]
+    value = log_prob[:, 0] + np.log(1.0 / N_CLASS)
+    back = np.zeros((T, N_CLASS), dtype=np.int64)
+    for t in range(1, T):
+        scores = value[:, None] + log_trans  # [from, to]
+        back[t] = scores.argmax(axis=0)
+        value = scores.max(axis=0) + log_prob[:, t]
+    path = np.zeros(T, dtype=np.int64)
+    path[-1] = value.argmax()
+    for t in range(T - 2, -1, -1):
+        path[t] = back[t + 1, path[t + 1]]
+    center = path[None, :, None]
+    return local_average_cents(hidden, center=center, thred=thred)
+
+
+# ---------------------------------------------------------------- converter
+def convert_rmvpe_state_dict(state: dict, en_de_layers: int = 5,
+                             inter_layers: int = 4, n_blocks: int = 4) -> dict:
+    """torch RMVPE 'model' state dict -> flax variables tree."""
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = np.asarray(value)
+
+    def conv_w(v):   # [out,in,kh,kw] -> [kh,kw,in,out]
+        return np.transpose(v, (2, 3, 1, 0))
+
+    def convblock(prefix_t: str, path: tuple, sd: dict):
+        """torch ConvBlockRes ('conv.0/1/3/4' + optional shortcut) -> flax."""
+        put(params, path + ("conv1", "kernel"), conv_w(sd[f"{prefix_t}.conv.0.weight"]))
+        put(params, path + ("bn1", "scale"), sd[f"{prefix_t}.conv.1.weight"])
+        put(params, path + ("bn1", "bias"), sd[f"{prefix_t}.conv.1.bias"])
+        put(batch_stats, path + ("bn1", "mean"), sd[f"{prefix_t}.conv.1.running_mean"])
+        put(batch_stats, path + ("bn1", "var"), sd[f"{prefix_t}.conv.1.running_var"])
+        put(params, path + ("conv2", "kernel"), conv_w(sd[f"{prefix_t}.conv.3.weight"]))
+        put(params, path + ("bn2", "scale"), sd[f"{prefix_t}.conv.4.weight"])
+        put(params, path + ("bn2", "bias"), sd[f"{prefix_t}.conv.4.bias"])
+        put(batch_stats, path + ("bn2", "mean"), sd[f"{prefix_t}.conv.4.running_mean"])
+        put(batch_stats, path + ("bn2", "var"), sd[f"{prefix_t}.conv.4.running_var"])
+        if f"{prefix_t}.shortcut.weight" in sd:
+            put(params, path + ("shortcut", "kernel"),
+                conv_w(sd[f"{prefix_t}.shortcut.weight"]))
+            put(params, path + ("shortcut", "bias"), sd[f"{prefix_t}.shortcut.bias"])
+
+    sd = state
+    # encoder input BN
+    put(params, ("unet", "in_bn", "scale"), sd["unet.encoder.bn.weight"])
+    put(params, ("unet", "in_bn", "bias"), sd["unet.encoder.bn.bias"])
+    put(batch_stats, ("unet", "in_bn", "mean"), sd["unet.encoder.bn.running_mean"])
+    put(batch_stats, ("unet", "in_bn", "var"), sd["unet.encoder.bn.running_var"])
+
+    for layer in range(en_de_layers):
+        for block in range(n_blocks):
+            convblock(f"unet.encoder.layers.{layer}.conv.{block}",
+                      ("unet", f"enc_{layer}", f"block_{block}"), sd)
+    for inter in range(inter_layers):
+        for block in range(n_blocks):
+            convblock(f"unet.intermediate.layers.{inter}.conv.{block}",
+                      ("unet", f"inter_{inter}", f"block_{block}"), sd)
+    for layer in range(en_de_layers):
+        t = f"unet.decoder.layers.{layer}"
+        # ConvTranspose2d weight [in, out, kh, kw] -> flipped [kh,kw,in,out]
+        w = sd[f"{t}.conv1.0.weight"]
+        put(params, ("unet", f"dec_{layer}", "up_kernel"),
+            np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy())
+        # note: torch ConvTranspose2d here is bias-free (bias=False)
+        put(params, ("unet", f"dec_{layer}", "up_bn", "scale"),
+            sd[f"{t}.conv1.1.weight"])
+        put(params, ("unet", f"dec_{layer}", "up_bn", "bias"),
+            sd[f"{t}.conv1.1.bias"])
+        put(batch_stats, ("unet", f"dec_{layer}", "up_bn", "mean"),
+            sd[f"{t}.conv1.1.running_mean"])
+        put(batch_stats, ("unet", f"dec_{layer}", "up_bn", "var"),
+            sd[f"{t}.conv1.1.running_var"])
+        for block in range(n_blocks):
+            convblock(f"{t}.conv2.{block}",
+                      ("unet", f"dec_{layer}", f"block_{block}"), sd)
+
+    put(params, ("head_conv", "kernel"), conv_w(sd["cnn.weight"]))
+    put(params, ("head_conv", "bias"), sd["cnn.bias"])
+
+    put(params, ("gru", "w_ih_fw"), sd["fc.0.gru.weight_ih_l0"])
+    put(params, ("gru", "w_hh_fw"), sd["fc.0.gru.weight_hh_l0"])
+    put(params, ("gru", "b_ih_fw"), sd["fc.0.gru.bias_ih_l0"])
+    put(params, ("gru", "b_hh_fw"), sd["fc.0.gru.bias_hh_l0"])
+    put(params, ("gru", "w_ih_bw"), sd["fc.0.gru.weight_ih_l0_reverse"])
+    put(params, ("gru", "w_hh_bw"), sd["fc.0.gru.weight_hh_l0_reverse"])
+    put(params, ("gru", "b_ih_bw"), sd["fc.0.gru.bias_ih_l0_reverse"])
+    put(params, ("gru", "b_hh_bw"), sd["fc.0.gru.bias_hh_l0_reverse"])
+    put(params, ("fc", "kernel"), np.asarray(sd["fc.1.weight"]).T)
+    put(params, ("fc", "bias"), sd["fc.1.bias"])
+    return {"params": params, "batch_stats": batch_stats}
+
+
+# ---------------------------------------------------------------- wrapper
+class RMVPE:
+    _cache: dict = {}
+
+    def __init__(self, model_path: pathlib.Path | str | None,
+                 hop_length: int = HOP_LENGTH):
+        from some_tpu.audio.mel import MelSpec
+
+        self.model = E2E0()
+        self.hop_length = hop_length
+        self.mel = MelSpec(N_MELS, SAMPLE_RATE, WINDOW_LENGTH, hop_length,
+                           fmin=MEL_FMIN, fmax=MEL_FMAX)
+        if model_path is not None:
+            import torch
+            ckpt = torch.load(str(model_path), map_location="cpu",
+                              weights_only=False)
+            sd = ckpt.get("model", ckpt)
+            sd = {k: v.detach().cpu().numpy().astype(np.float32)
+                  for k, v in sd.items() if hasattr(v, "detach")}
+            self.variables = convert_rmvpe_state_dict(sd)
+        else:  # random init (tests)
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), np.zeros((1, 32, N_MELS), np.float32))
+        self._forward = jax.jit(
+            lambda mel: self.model.apply(self.variables, mel))
+
+    @classmethod
+    def cached(cls, model_path) -> "RMVPE":
+        if model_path is None:
+            raise FileNotFoundError("no RMVPE checkpoint configured (pe_ckpt)")
+        key = str(model_path)
+        if key not in cls._cache:
+            if not pathlib.Path(model_path).exists():
+                raise FileNotFoundError(model_path)
+            cls._cache[key] = cls(model_path)
+        return cls._cache[key]
+
+    def mel2hidden(self, mel: np.ndarray) -> np.ndarray:
+        """mel [T, 128] -> probabilities [1, T, 360], T padded to 32."""
+        n_frames = mel.shape[0]
+        pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
+        mel = np.pad(mel, ((0, pad), (0, 0)))
+        hidden = np.asarray(self._forward(mel[None]))
+        return hidden[:, :n_frames]
+
+    def infer_from_audio(self, audio: np.ndarray, sample_rate: int = 16000,
+                         thred: float = 0.03, use_viterbi: bool = False) -> np.ndarray:
+        from some_tpu.audio.wavio import resample
+
+        if sample_rate != SAMPLE_RATE:
+            audio = resample(audio, sample_rate, SAMPLE_RATE)
+        mel = self.mel(audio)  # [T, 128]
+        hidden = self.mel2hidden(mel)
+        if use_viterbi:
+            return viterbi_cents(hidden, thred=thred)
+        return local_average_cents(hidden, thred=thred)
+
+    def get_pitch(self, waveform: np.ndarray, sample_rate: int, hop_size: int,
+                  length: int, interp_uv: bool = False):
+        """f0 on the caller's hop grid (reference: rmvpe/inference.py:56-66)."""
+        from some_tpu.utils.pitch import interp_f0, resample_align_curve
+
+        f0 = self.infer_from_audio(waveform, sample_rate=sample_rate)
+        uv = f0 == 0
+        f0, uv = interp_f0(f0, uv)
+        time_step = hop_size / sample_rate
+        f0_res = resample_align_curve(f0, 0.01, time_step, length)
+        uv_res = resample_align_curve(uv.astype(np.float32), 0.01, time_step,
+                                      length) > 0.5
+        if not interp_uv:
+            f0_res[uv_res] = 0
+        return f0_res, uv_res
