@@ -51,6 +51,8 @@ class BaseTask:
         self.tx = build_optimizer(
             config["optimizer_args"], self.schedule,
             clip_grad_norm=config.get("clip_grad_norm"))
+        if config.get("freezing_enabled") and config.get("frozen_params"):
+            self.tx = self._with_frozen_params(self.tx, config["frozen_params"])
         self.mesh = None
         self.dp_size = 1
         self._train_step = None
@@ -69,6 +71,30 @@ class BaseTask:
     def valid_outputs(self, outputs, batch) -> dict:
         """Extra device-side validation products (decodes, metric counters)."""
         return {}
+
+    @staticmethod
+    def _with_frozen_params(tx, frozen_prefixes):
+        """Zero updates for params whose dotted path starts with a frozen
+        prefix (reference: training/base_task.py:144-163; 'model.' prefixes
+        from reference configs are accepted and also matched bare)."""
+        import jax.tree_util as jtu
+        import optax
+
+        prefixes = []
+        for prefix in frozen_prefixes:
+            prefixes.append(prefix)
+            if prefix.startswith("model."):
+                prefixes.append(prefix[len("model."):])
+
+        def label(params):
+            def leaf_label(path):
+                name = ".".join(getattr(k, "key", str(k)) for k in path)
+                return "frozen" if any(name.startswith(p) for p in prefixes) \
+                    else "trainable"
+            return jtu.tree_map_with_path(lambda p, _: leaf_label(p), params)
+
+        return optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, label)
 
     # ---- state management ----
     def init_state(self, seed: int | None = None, example_batch: dict | None = None
