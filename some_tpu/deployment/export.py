@@ -44,9 +44,16 @@ class DeploymentExporter:
         out_dir.mkdir(parents=True, exist_ok=True)
         hop = self.engine.hop
         manifest: Dict[str, dict] = {}
+        engine = self.engine
+        variables = jax.device_put(engine.variables)
+
+        def pipeline(audio, mask):
+            # weights are intentionally embedded in the deployment artifact
+            return engine._device_pipeline(variables, audio, mask)
+
         for bucket in buckets:
             n_samples = bucket * hop - 1
-            fn = jax.jit(self.engine._device_pipeline)
+            fn = jax.jit(pipeline)
             exported = jexport.export(fn, platforms=list(platforms))(
                 jax.ShapeDtypeStruct((1, n_samples), np.float32),
                 jax.ShapeDtypeStruct((1, bucket), np.bool_),

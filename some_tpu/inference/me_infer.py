@@ -35,12 +35,16 @@ class MIDIExtractionInference(BaseInference):
         self.midi_max = config["midi_max"]
         self.midi_deviation = config["midi_prob_deviation"]
         self.rest_threshold = config["rest_threshold"]
+        # Variables are an explicit jit argument (placed on device once) —
+        # closing over them would bake ~0.5 GB of weights into the program
+        # as constants, bloating the executable and breaking remote compile.
+        self._device_variables = jax.device_put(self.variables)
         self._pipeline = jax.jit(self._device_pipeline)
 
-    def _forward(self, units, mask):
+    def _forward(self, variables, units, mask):
         """units [B,T,C] -> (probs [B,T,K] sigmoid, bounds [B,T])."""
         probs, bounds = self.model.apply(
-            self.variables, units, f0=None, mask=mask, sig=True)
+            variables, units, f0=None, mask=mask, sig=True)
         return probs, bounds
 
     def _decode(self, probs, bounds, mask):
@@ -57,13 +61,13 @@ class MIDIExtractionInference(BaseInference):
         return {"note_midi": note_midi, "note_dur": note_dur,
                 "note_rest": ~note_mask, "n_notes": n_notes}
 
-    def _device_pipeline(self, audio, mask):
+    def _device_pipeline(self, variables, audio, mask):
         units = self.mel(audio)
-        probs, bounds = self._forward(units, mask)
+        probs, bounds = self._forward(variables, units, mask)
         return self._decode(probs, bounds, mask)
 
     def run_bucket(self, audio: np.ndarray, frame_mask: np.ndarray) -> dict:
-        return self._pipeline(audio, frame_mask)
+        return self._pipeline(self._device_variables, audio, frame_mask)
 
     def assemble(self, device_out: dict, n_frames: int) -> Dict[str, np.ndarray]:
         n = int(device_out["n_notes"])

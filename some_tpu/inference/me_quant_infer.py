@@ -14,9 +14,9 @@ class QuantizedMIDIExtractionInference(MIDIExtractionInference):
         config.setdefault("rest_threshold", 0.1)
         super().__init__(config, model_path, **kwargs)
 
-    def _forward(self, units, mask):
+    def _forward(self, variables, units, mask):
         probs, bounds = self.model.apply(
-            self.variables, units, f0=None, mask=mask, softmax=True)
+            variables, units, f0=None, mask=mask, softmax=True)
         return probs, bounds
 
     def _decode(self, probs, bounds, mask):

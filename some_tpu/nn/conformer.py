@@ -56,14 +56,21 @@ class FeedForward(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Bias-free q / fused-kv MHSA (reference: base_attention.py:8-46)."""
+    """Bias-free q / fused-kv MHSA (reference: base_attention.py:8-46).
+
+    ``attn_impl``: 'auto' (Pallas flash kernel on TPU when shapes allow,
+    plain XLA otherwise), 'xla', or 'flash'. See some_tpu/ops/attention.py.
+    """
     dim: int
     heads: int = 4
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        from some_tpu.ops.attention import dot_product_attention
+
         hidden = self.heads * self.head_dim
         q = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="q_proj")(x)
         kv = nn.Dense(hidden * 2, use_bias=False, dtype=self.dtype, name="kv_proj")(x)
@@ -73,16 +80,8 @@ class SelfAttention(nn.Module):
         q = q.reshape(B, T, self.heads, self.head_dim)
         k = k.reshape(B, T, self.heads, self.head_dim)
         v = v.reshape(B, T, self.heads, self.head_dim)
-
-        scale = self.head_dim ** -0.5
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if mask is not None:
-            scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
-        weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.reshape(B, T, hidden)
+        out = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
+        out = out.astype(self.dtype).reshape(B, T, hidden)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -149,6 +148,7 @@ class ConformerBlock(nn.Module):
     heads: int = 4
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -158,7 +158,8 @@ class ConformerBlock(nn.Module):
                         dtype=self.dtype, name="ffn1")(
             ln("norm1")(x).astype(self.dtype), deterministic) * 0.5 + x
         att = SelfAttention(self.dim, self.heads, self.head_dim,
-                            dtype=self.dtype, name="attn")(
+                            dtype=self.dtype, attn_impl=self.attn_impl,
+                            name="attn")(
             ln("norm2")(x).astype(self.dtype), mask=mask)
         if self.attention_drop > 0:
             att = nn.Dropout(self.attention_drop, deterministic=deterministic)(att)
@@ -184,6 +185,7 @@ class DualStreamBlock(nn.Module):
     heads: int = 4
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, midi, bound, mask: Optional[jnp.ndarray] = None,
@@ -194,7 +196,7 @@ class DualStreamBlock(nn.Module):
             dim=self.dim, kernel_size=self.kernel_size, conv_drop=self.conv_drop,
             ffn_latent_drop=self.ffn_latent_drop, ffn_out_drop=self.ffn_out_drop,
             attention_drop=self.attention_drop, heads=self.heads,
-            head_dim=self.head_dim, dtype=self.dtype,
+            head_dim=self.head_dim, dtype=self.dtype, attn_impl=self.attn_impl,
         )
         midi = ConformerBlock(**block_args, name="midi_block")(midi, **kwargs)
         bound = ConformerBlock(**block_args, name="bound_block")(bound, **kwargs)
@@ -229,6 +231,7 @@ class MidiConformer(nn.Module):
     attention_heads_dim: int = 64
     dtype: jnp.dtype = jnp.float32
     mask_attention: bool = True
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, pitch=None, mask: Optional[jnp.ndarray] = None,
@@ -240,6 +243,7 @@ class MidiConformer(nn.Module):
             ffn_latent_drop=self.ffn_latent_drop, ffn_out_drop=self.ffn_out_drop,
             attention_drop=self.attention_drop, heads=self.attention_heads,
             head_dim=self.attention_heads_dim, dtype=self.dtype,
+            attn_impl=self.attn_impl,
         )
         kwargs = dict(mask=attn_mask, deterministic=deterministic,
                       use_running_average=use_running_average)

@@ -29,6 +29,7 @@ class MidiExtractor(nn.Module):
     attention_heads_dim: int = 64
     dtype: jnp.dtype = jnp.float32
     mask_attention: bool = True
+    attn_impl: str = "auto"
 
     def setup(self):
         self.backbone = MidiConformer(
@@ -39,6 +40,7 @@ class MidiExtractor(nn.Module):
             attention_heads=self.attention_heads,
             attention_heads_dim=self.attention_heads_dim,
             dtype=self.dtype, mask_attention=self.mask_attention,
+            attn_impl=self.attn_impl,
         )
 
     def __call__(self, x, f0=None, mask: Optional[jnp.ndarray] = None,
@@ -67,5 +69,6 @@ def build_midi_extractor(config: dict, dtype=jnp.float32,
     args.pop("outdim", None)
     return MidiExtractor(
         indim=config["units_dim"], outdim=config["midi_num_bins"],
-        dtype=dtype, mask_attention=mask_attention, **args,
+        dtype=dtype, mask_attention=mask_attention,
+        attn_impl=config.get("attention_impl", "auto"), **args,
     )

@@ -1,0 +1,92 @@
+"""Attention dispatch: plain XLA einsum path or fused Pallas flash kernel.
+
+The conformer's bidirectional full attention is the memory hot spot at long
+buckets (scores are O(T^2) per head in the XLA path). On TPU the Pallas
+flash-attention kernel streams K/V blocks through VMEM with an online
+softmax, never materializing [T, T] — the reference instead relies on
+torch SDPA flash kernels (reference: modules/attention/base_attention.py:41-43).
+
+Key-padding semantics: bucketed inference needs padded keys excluded for
+real queries. The flash path encodes this via segment ids (pad frames get
+segment 0, real frames segment 1 — attention only within equal segments),
+matching the -inf key-mask bias of the XLA path for real rows.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def _xla_attention(q, k, v, mask, scale):
+    """q,k,v: [B, T, H, D]; mask: [B, T] bool or None."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_block_sizes(t: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    def divisor_block(limit):
+        for cand in (limit, limit // 2, limit // 4, 256, 128):
+            if cand and cand <= t and t % cand == 0:
+                return cand
+        return t
+
+    block_q = divisor_block(512)
+    block_k = divisor_block(1024)
+    return BlockSizes(
+        block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1,
+        block_q_major_dkv=block_q, block_k_major_dkv=block_k,
+        block_k_dkv=block_k, block_q_dkv=block_q,
+        block_k_major_dq=block_k, block_k_dq=block_k, block_q_dq=block_q,
+    )
+
+
+def _flash_attention(q, k, v, mask, scale):
+    """Pallas TPU kernel; q,k,v [B, T, H, D] -> [B, T, H, D]."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention,
+    )
+
+    # kernel layout is [B, H, T, D]
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    segment_ids = None
+    if mask is not None:
+        ids = mask.astype(jnp.int32)  # pad=0, real=1: cross-attention blocked
+        segment_ids = SegmentIds(q=ids, kv=ids)
+    out = flash_attention(qt, kt, vt, segment_ids=segment_ids,
+                          causal=False, sm_scale=scale,
+                          block_sizes=_flash_block_sizes(q.shape[1]))
+    return jnp.swapaxes(out, 1, 2)
+
+
+def can_use_flash(t: int, head_dim: int) -> bool:
+    """Shipped kernel wants the sequence on a 128 grid and lane-sized heads."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform == "tpu" and t % 128 == 0 and head_dim % 8 == 0 and t >= 256
+
+
+def dot_product_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
+                          impl: str = "auto"):
+    """q,k,v: [B, T, H, D]; mask: [B, T] bool key/query validity."""
+    scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "flash" if can_use_flash(q.shape[1], q.shape[-1]) else "xla"
+    if impl == "flash":
+        return _flash_attention(q, k, v, mask, scale)
+    return _xla_attention(q, k, v, mask, scale)

@@ -85,9 +85,10 @@ class TestExportRoundtrip:
         import json
         manifest = {}
         hop = engine.hop
+        variables = jax.device_put(engine.variables)
         for bucket in (128, 256):
             n_samples = bucket * hop - 1
-            fn = jax.jit(engine._device_pipeline)
+            fn = jax.jit(lambda a, m: engine._device_pipeline(variables, a, m))
             exported = jexport.export(fn, platforms=["cpu"])(
                 jax.ShapeDtypeStruct((1, n_samples), np.float32),
                 jax.ShapeDtypeStruct((1, bucket), np.bool_))
