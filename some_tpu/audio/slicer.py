@@ -51,8 +51,24 @@ class SilenceSlicer:
         samples = waveform.mean(axis=0) if waveform.ndim > 1 else waveform
         if (samples.shape[0] + self.hop_size - 1) // self.hop_size <= self.min_length:
             return [{"offset": 0, "waveform": waveform}]
-        rms = rms_envelope(samples, frame_length=self.win_size, hop_length=self.hop_size)
 
+        # native C++ scan when available (some_tpu/native), python otherwise
+        try:
+            from some_tpu.native import rms_envelope_native, slicer_scan_native
+            rms = rms_envelope_native(samples, self.win_size, self.hop_size)
+            if rms is not None:
+                tags = slicer_scan_native(
+                    rms, self.threshold, self.min_interval, self.min_length,
+                    self.max_sil_kept)
+                if tags is not None:
+                    return self._apply_tags(waveform, tags, rms.shape[0])
+        except Exception:
+            pass
+        rms = rms_envelope(samples, frame_length=self.win_size, hop_length=self.hop_size)
+        tags = self._scan_python(rms)
+        return self._apply_tags(waveform, tags, rms.shape[0])
+
+    def _scan_python(self, rms: np.ndarray) -> list:
         sil_tags: list = []
         silence_start = None
         clip_start = 0
@@ -97,7 +113,10 @@ class SilenceSlicer:
             silence_end = min(total_frames, silence_start + self.max_sil_kept)
             pos = rms[silence_start:silence_end + 1].argmin() + silence_start
             sil_tags.append((pos, total_frames + 1))
+        return sil_tags
 
+    def _apply_tags(self, waveform: np.ndarray, sil_tags: list,
+                    total_frames: int) -> list:
         if not sil_tags:
             return [{"offset": 0, "waveform": waveform}]
         chunks = []

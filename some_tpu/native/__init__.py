@@ -1,0 +1,93 @@
+"""Native (C++) host-plane kernels, loaded via ctypes with lazy build.
+
+The shared library is compiled on first use with the image's g++ (no
+pybind11 needed) and cached next to the source; every entry point has a
+pure-numpy fallback so the framework works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC_DIR = pathlib.Path(__file__).parent
+_LIB_PATH = _SRC_DIR / "libsome_audio.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC",
+           str(_SRC_DIR / "audio_frontend.cpp"), "-o", str(_LIB_PATH)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Returns the loaded ctypes library, or None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists() and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.rms_envelope.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.rms_envelope.restype = None
+        lib.slicer_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        lib.slicer_scan.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def rms_envelope_native(y: np.ndarray, frame_length: int, hop_length: int):
+    """Native RMS envelope, or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    y = np.ascontiguousarray(y, dtype=np.float32)
+    pad = frame_length // 2
+    num_frames = (len(y) + 2 * pad - frame_length) // hop_length + 1
+    out = np.empty(num_frames, dtype=np.float64)
+    lib.rms_envelope(
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(y),
+        frame_length, hop_length,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), num_frames)
+    return out
+
+
+def slicer_scan_native(rms: np.ndarray, threshold: float, min_interval: int,
+                       min_length: int, max_sil_kept: int):
+    """Native silence scan -> list[(start, end)] frame tags, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rms = np.ascontiguousarray(rms, dtype=np.float64)
+    capacity = max(len(rms) // max(min_interval, 1) + 8, 16)
+    tags = np.empty(capacity * 2, dtype=np.int64)
+    count = lib.slicer_scan(
+        rms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(rms),
+        float(threshold), min_interval, min_length, max_sil_kept,
+        tags.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), capacity)
+    return [(int(tags[2 * i]), int(tags[2 * i + 1])) for i in range(count)]

@@ -153,34 +153,67 @@ class Trainer:
             self._validate(state, valid_ds, val_sampler,
                            limit=self.num_sanity_val_steps, sanity=True)
 
+        try:
+            from tqdm import tqdm
+            progress = tqdm(initial=int(state.step), total=target,
+                            desc="train", unit="step", dynamic_ncols=True)
+        except ImportError:
+            progress = None
+
+        profile_dir = self.config.get("profile_dir")
         epoch = 0
         t_last = time.time()
-        while int(state.step) < target:
-            sampler.set_epoch(epoch)
-            for batch_idx_list in sampler:
-                if int(state.step) >= target:
-                    break
-                items = [train_ds[i] for i in batch_idx_list]
-                batch = self.task.collate(items)
-                batch = shard_batch(batch, self.mesh)
-                state, logs = train_step(state, batch)
-                step = int(state.step)
-                if step % self.log_interval == 0:
-                    scalars = {k: float(v) for k, v in logs.items()}
-                    scalars["lr"] = float(self.task.schedule(step - 1))
-                    scalars["batch_size"] = len(batch_idx_list)
-                    dt = time.time() - t_last
-                    t_last = time.time()
-                    scalars["steps_per_sec"] = (
-                        self.log_interval / dt if step > self.log_interval else 0.0)
-                    self._log_scalars("training", scalars, step)
-                    log.info("step %d | %s", step, " ".join(
-                        f"{k}={v:.5g}" for k, v in scalars.items()))
-                if step % self.val_check_interval == 0:
-                    self._validate(state, valid_ds, val_sampler)
-                    self.ckpt_manager.save(
-                        step, state.params, state.batch_stats, state.opt_state)
-            epoch += 1
+        try:
+            while int(state.step) < target:
+                sampler.set_epoch(epoch)
+                for batch_idx_list in sampler:
+                    if int(state.step) >= target:
+                        break
+                    items = [train_ds[i] for i in batch_idx_list]
+                    batch = self.task.collate(items)
+                    batch = shard_batch(batch, self.mesh)
+                    state, logs = train_step(state, batch)
+                    step = int(state.step)
+                    if progress is not None:
+                        progress.update(1)
+                    if profile_dir and step == self.log_interval:
+                        # one traced step early in the run, post-compilation
+                        from some_tpu.utils.profiling import trace
+                        with trace(profile_dir):
+                            state, logs = train_step(state, batch)
+                            jax.block_until_ready(logs)
+                        step = int(state.step)
+                    if step % self.log_interval == 0:
+                        scalars = {k: float(v) for k, v in logs.items()}
+                        scalars["lr"] = float(self.task.schedule(step - 1))
+                        scalars["batch_size"] = len(batch_idx_list)
+                        dt = time.time() - t_last
+                        t_last = time.time()
+                        scalars["steps_per_sec"] = (
+                            self.log_interval / dt if step > self.log_interval else 0.0)
+                        self._log_scalars("training", scalars, step)
+                        if progress is not None:
+                            progress.set_postfix(
+                                {k: f"{v:.4g}" for k, v in scalars.items()
+                                 if k in ("total_loss", "lr", "steps_per_sec")})
+                        else:
+                            log.info("step %d | %s", step, " ".join(
+                                f"{k}={v:.5g}" for k, v in scalars.items()))
+                    if step % self.val_check_interval == 0:
+                        self._validate(state, valid_ds, val_sampler)
+                        self.ckpt_manager.save(
+                            step, state.params, state.batch_stats, state.opt_state)
+                epoch += 1
+        except KeyboardInterrupt:
+            # preemption/interrupt safety: persist the exact current step
+            step = int(state.step)
+            log.warning("interrupted at step %d; saving checkpoint", step)
+            self.ckpt_manager.save(step, state.params, state.batch_stats,
+                                   state.opt_state)
+            raise
+        finally:
+            if progress is not None:
+                progress.close()
 
         final_step = int(state.step)
         if latest_checkpoint(self.work_dir) is None or \
