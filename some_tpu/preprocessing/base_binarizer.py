@@ -13,6 +13,7 @@ jitted JAX calls.
 """
 from __future__ import annotations
 
+import multiprocessing
 import pathlib
 import random
 import warnings
@@ -22,6 +23,25 @@ import numpy as np
 from tqdm import tqdm
 
 from some_tpu.data.indexed_dataset import IndexedDatasetWriter, save_lengths
+
+# worker-process global (re-created per worker via _worker_init; keeps
+# unpicklable members — jitted fns, HDF5 handles — out of the task pickle)
+_WORKER_BINARIZER = None
+
+
+def _worker_init(cls_path: str, config: dict) -> None:
+    global _WORKER_BINARIZER
+    from some_tpu.registry import resolve_class
+    _WORKER_BINARIZER = resolve_class(cls_path)(config)
+
+
+def _worker_run(job):
+    name, meta, aug = job
+    try:
+        return _WORKER_BINARIZER.process_item(name, meta, allow_aug=aug)
+    except Exception as exc:  # map failures to None like the reference pool
+        print(f"| worker failed on {name}: {exc}")
+        return None
 
 
 class BinarizationError(Exception):
@@ -138,21 +158,36 @@ class BaseBinarizer:
 
         writer = IndexedDatasetWriter(self.binary_data_dir, prefix=prefix,
                                       allowed_attrs=self.data_attrs)
-        try:
-            for name, meta, aug in tqdm(args, desc=f"binarize:{prefix}"):
-                try:
-                    item_group = self.process_item(name, meta, allow_aug=aug)
-                except BinarizationError as exc:
-                    print(f"| skipped {name}: {exc}")
+
+        def emit(item_group):
+            nonlocal total_sec, total_raw_sec
+            if item_group is None:
+                return
+            for i, item in enumerate(item_group):
+                if item is None:
                     continue
-                for i, item in enumerate(item_group):
-                    if item is None:
-                        continue
-                    writer.add_item(item)
-                    lengths.append(item["length"])
-                    total_sec += item["seconds"]
-                    if i == 0:
-                        total_raw_sec += item["seconds"]
+                writer.add_item(item)
+                lengths.append(item["length"])
+                total_sec += item["seconds"]
+                if i == 0:
+                    total_raw_sec += item["seconds"]
+
+        try:
+            if num_workers > 0:
+                cls_path = f"{type(self).__module__}.{type(self).__qualname__}"
+                ctx = multiprocessing.get_context("spawn")
+                with ctx.Pool(num_workers, initializer=_worker_init,
+                              initargs=(cls_path, self.config)) as pool:
+                    for item_group in tqdm(pool.imap(_worker_run, args),
+                                           total=len(args),
+                                           desc=f"binarize:{prefix}"):
+                        emit(item_group)
+            else:
+                for name, meta, aug in tqdm(args, desc=f"binarize:{prefix}"):
+                    try:
+                        emit(self.process_item(name, meta, allow_aug=aug))
+                    except BinarizationError as exc:
+                        print(f"| skipped {name}: {exc}")
         finally:
             writer.finalize()
         save_lengths(self.binary_data_dir, prefix, lengths)

@@ -33,6 +33,9 @@ REFERENCE_ALIASES: Dict[str, str] = {
     "torch.optim.AdamW": "some_tpu.training.optimizers.AdamW",
     "torch.optim.Adam": "some_tpu.training.optimizers.Adam",
     "lr_scheduler.scheduler.WarmupLR": "some_tpu.training.schedules.WarmupLR",
+    "lr_scheduler.scheduler.SGDRLR": "some_tpu.training.extra_schedules.SGDRLR",
+    "lr_scheduler.scheduler.NoamHoldAnnealing":
+        "some_tpu.training.extra_schedules.NoamHoldAnnealing",
     "utils.training_utils.WarmupCosineSchedule":
         "some_tpu.training.schedules.WarmupCosineSchedule",
 }

@@ -53,6 +53,15 @@ class BaseTask:
             clip_grad_norm=config.get("clip_grad_norm"))
         if config.get("freezing_enabled") and config.get("frozen_params"):
             self.tx = self._with_frozen_params(self.tx, config["frozen_params"])
+        # Gradient accumulation: one optimizer step per k micro-batches
+        # (reference: accumulate_grad_batches through the Lightning trainer,
+        # train.py:96; the sampler's batch-count multiple guarantees whole
+        # accumulation groups per epoch). The inner optimizer's schedule sees
+        # applied-update counts, so LR semantics match the reference.
+        self.grad_accum = int(config.get("accumulate_grad_batches", 1) or 1)
+        if self.grad_accum > 1:
+            import optax as _optax
+            self.tx = _optax.MultiSteps(self.tx, every_k_schedule=self.grad_accum)
         self.mesh = None
         self.dp_size = 1
         self._train_step = None

@@ -76,9 +76,11 @@ class Trainer:
         opt_state = state.opt_state
         if ckpt.get("opt_state") is not None:
             opt_state = serialization.from_state_dict(state.opt_state, ckpt["opt_state"])
-        step = int(ckpt.get("meta", {}).get("step", 0))
+        meta = ckpt.get("meta", {})
+        k = getattr(self.task, "grad_accum", 1)
+        micro = int(meta.get("micro_step", int(meta.get("step", 0)) * k))
         return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=opt_state, step=np.int32(step))
+                          opt_state=opt_state, step=np.int32(micro))
 
     def _load_finetune(self, state: TrainState) -> TrainState:
         """Partial-load a pretrained ckpt with prefix blacklist and
@@ -147,7 +149,10 @@ class Trainer:
         train_step = self.task.make_train_step(self.mesh)
         self.task.make_valid_step(self.mesh)
         state = self.restore_or_init()
-        target = min(self.max_updates, max_steps or self.max_updates)
+        # state.step counts micro-batches; reference 'global_step' counts
+        # optimizer updates — with grad accumulation they differ by k
+        k = getattr(self.task, "grad_accum", 1)
+        target = min(self.max_updates, max_steps or self.max_updates) * k
 
         if self.num_sanity_val_steps and int(state.step) == 0:
             self._validate(state, valid_ds, val_sampler,
@@ -156,7 +161,7 @@ class Trainer:
         try:
             from tqdm import tqdm
             progress = tqdm(initial=int(state.step), total=target,
-                            desc="train", unit="step", dynamic_ncols=True)
+                            desc="train", unit="microstep", dynamic_ncols=True)
         except ImportError:
             progress = None
 
@@ -173,7 +178,7 @@ class Trainer:
                     batch = self.task.collate(items)
                     batch = shard_batch(batch, self.mesh)
                     state, logs = train_step(state, batch)
-                    step = int(state.step)
+                    step = int(state.step) // k
                     if progress is not None:
                         progress.update(1)
                     if profile_dir and step == self.log_interval:
@@ -182,8 +187,8 @@ class Trainer:
                         with trace(profile_dir):
                             state, logs = train_step(state, batch)
                             jax.block_until_ready(logs)
-                        step = int(state.step)
-                    if step % self.log_interval == 0:
+                        step = int(state.step) // k
+                    if int(state.step) % (self.log_interval * k) == 0:
                         scalars = {k: float(v) for k, v in logs.items()}
                         scalars["lr"] = float(self.task.schedule(step - 1))
                         scalars["batch_size"] = len(batch_idx_list)
@@ -199,27 +204,30 @@ class Trainer:
                         else:
                             log.info("step %d | %s", step, " ".join(
                                 f"{k}={v:.5g}" for k, v in scalars.items()))
-                    if step % self.val_check_interval == 0:
+                    if int(state.step) % (self.val_check_interval * k) == 0:
                         self._validate(state, valid_ds, val_sampler)
                         self.ckpt_manager.save(
-                            step, state.params, state.batch_stats, state.opt_state)
+                            step, state.params, state.batch_stats, state.opt_state,
+                            extra_meta={"micro_step": int(state.step)})
                 epoch += 1
         except KeyboardInterrupt:
             # preemption/interrupt safety: persist the exact current step
             step = int(state.step)
             log.warning("interrupted at step %d; saving checkpoint", step)
             self.ckpt_manager.save(step, state.params, state.batch_stats,
-                                   state.opt_state)
+                                   state.opt_state,
+                                   extra_meta={"micro_step": int(state.step)})
             raise
         finally:
             if progress is not None:
                 progress.close()
 
-        final_step = int(state.step)
+        final_step = int(state.step) // k
         if latest_checkpoint(self.work_dir) is None or \
                 final_step > self.ckpt_manager_last_saved_step():
             self.ckpt_manager.save(final_step, state.params, state.batch_stats,
-                                   state.opt_state)
+                                   state.opt_state,
+                                   extra_meta={"micro_step": int(state.step)})
         return state
 
     def ckpt_manager_last_saved_step(self) -> int:

@@ -10,6 +10,23 @@ from __future__ import annotations
 import numpy as np
 
 
+F0_BIN = 256
+F0_MAX = 1100.0
+F0_MIN = 50.0
+_F0_MEL_MIN = 1127 * np.log(1 + F0_MIN / 700)
+_F0_MEL_MAX = 1127 * np.log(1 + F0_MAX / 700)
+
+
+def f0_to_coarse(f0: np.ndarray) -> np.ndarray:
+    """Quantize f0 (Hz) to 256 mel-spaced bins (reference: pitch_utils.py:11-21;
+    unused by the shipped pipeline, kept for API parity)."""
+    f0_mel = 1127 * np.log(1 + np.asarray(f0, dtype=np.float64) / 700)
+    scaled = (f0_mel - _F0_MEL_MIN) * (F0_BIN - 2) / (_F0_MEL_MAX - _F0_MEL_MIN) + 1
+    f0_mel = np.where(f0_mel > 0, scaled, f0_mel)
+    f0_mel = np.clip(f0_mel, 1, F0_BIN - 1)
+    return np.rint(f0_mel).astype(np.int64)
+
+
 def norm_f0(f0: np.ndarray, uv: np.ndarray | None = None) -> np.ndarray:
     if uv is None:
         uv = f0 == 0
