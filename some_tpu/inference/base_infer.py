@@ -79,7 +79,12 @@ class BaseInference:
         raise NotImplementedError
 
     def infer(self, waveforms: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
-        """Chunk list -> note dicts, batched per bucket."""
+        """Chunk list -> note dicts, batched per bucket.
+
+        Two phases: dispatch every bucket group first (jax dispatch is async,
+        so device compute overlaps the host-side padding of later groups),
+        then fetch + assemble. Avoids a host<->device round trip per group.
+        """
         jobs = []
         for i, w in enumerate(waveforms):
             n_frames = len(w) // self.hop + 1
@@ -91,6 +96,7 @@ class BaseInference:
         for job in jobs:
             by_bucket.setdefault(job["bucket"], []).append(job)
 
+        pending = []
         for bucket, bucket_jobs in sorted(by_bucket.items()):
             for start in range(0, len(bucket_jobs), self.max_batch_chunks):
                 group = bucket_jobs[start:start + self.max_batch_chunks]
@@ -103,11 +109,13 @@ class BaseInference:
                     wave = job["wave"][:n_samples]
                     audio[row, :len(wave)] = wave
                     mask[row, :job["frames"]] = True
-                out = self.run_bucket(audio, mask)
-                out = {k: np.asarray(v) for k, v in out.items()}
-                for row, job in enumerate(group):
-                    results[job["idx"]] = self.assemble(
-                        {k: v[row] for k, v in out.items()}, job["frames"])
+                pending.append((group, self.run_bucket(audio, mask)))
+
+        for group, out in pending:
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for row, job in enumerate(group):
+                results[job["idx"]] = self.assemble(
+                    {k: v[row] for k, v in out.items()}, job["frames"])
         return results  # type: ignore[return-value]
 
 
