@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
@@ -108,6 +109,50 @@ class DepthwiseConv1d(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (batch, time) with optional frame masking.
+
+    Same parameter/stat layout as flax BatchNorm (scale/bias params +
+    mean/var batch_stats), so converted torch checkpoints load unchanged.
+    Training-mode statistics exclude masked (padded) frames — the TPU
+    bucketing adds fake rows/frames the reference's batches never had, and
+    including them would skew the running stats (SURVEY.md §7.3 flags BN as
+    the subtlest parity trap). Eval mode uses running stats and is exactly
+    the reference's elementwise affine.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 use_running_average: bool = True):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is not None:
+                w = mask.astype(jnp.float32)[..., None]
+                count = jnp.maximum(w.sum(), 1.0)
+                mean = (xf * w).sum(axis=(0, 1)) / count
+                var = (((xf - mean) ** 2) * w).sum(axis=(0, 1)) / count
+            else:
+                mean = xf.mean(axis=(0, 1))
+                var = xf.var(axis=(0, 1))
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class ConvModule(nn.Module):
     """pointwise->GLU->depthwise->BN->SiLU->pointwise (reference: base_conv.py:18-70)."""
     dim: int
@@ -126,10 +171,8 @@ class ConvModule(nn.Module):
             # padding the depthwise conv would see on an unpadded sequence.
             x = jnp.where(mask[..., None], x, 0)
         x = DepthwiseConv1d(self.dim, self.kernel_size, dtype=self.dtype, name="dw")(x)
-        x = nn.BatchNorm(
-            use_running_average=use_running_average, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn",
-        )(x)
+        x = MaskedBatchNorm(momentum=0.9, epsilon=1e-5, name="bn")(
+            x, mask=mask, use_running_average=use_running_average)
         x = nn.silu(x).astype(self.dtype)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(x)
         if self.drop > 0:
