@@ -167,18 +167,20 @@ class Trainer:
 
         profile_dir = self.config.get("profile_dir")
         epoch = 0
+        micro_step = int(state.step)
         t_last = time.time()
         try:
-            while int(state.step) < target:
+            while micro_step < target:
                 sampler.set_epoch(epoch)
                 for batch_idx_list in sampler:
-                    if int(state.step) >= target:
+                    if micro_step >= target:
                         break
                     items = [train_ds[i] for i in batch_idx_list]
                     batch = self.task.collate(items)
                     batch = shard_batch(batch, self.mesh)
                     state, logs = train_step(state, batch)
-                    step = int(state.step) // k
+                    micro_step += 1  # host counter: no device sync per step
+                    step = micro_step // k
                     if progress is not None:
                         progress.update(1)
                     if profile_dir and step == self.log_interval:
@@ -187,8 +189,9 @@ class Trainer:
                         with trace(profile_dir):
                             state, logs = train_step(state, batch)
                             jax.block_until_ready(logs)
-                        step = int(state.step) // k
-                    if int(state.step) % (self.log_interval * k) == 0:
+                        micro_step += 1
+                        step = micro_step // k
+                    if micro_step % (self.log_interval * k) == 0:
                         scalars = {k: float(v) for k, v in logs.items()}
                         scalars["lr"] = float(self.task.schedule(step - 1))
                         scalars["batch_size"] = len(batch_idx_list)
@@ -204,7 +207,7 @@ class Trainer:
                         else:
                             log.info("step %d | %s", step, " ".join(
                                 f"{k}={v:.5g}" for k, v in scalars.items()))
-                    if int(state.step) % (self.val_check_interval * k) == 0:
+                    if micro_step % (self.val_check_interval * k) == 0:
                         self._validate(state, valid_ds, val_sampler)
                         self.ckpt_manager.save(
                             step, state.params, state.batch_stats, state.opt_state,
@@ -212,7 +215,7 @@ class Trainer:
                 epoch += 1
         except KeyboardInterrupt:
             # preemption/interrupt safety: persist the exact current step
-            step = int(state.step)
+            step = int(state.step) // k
             log.warning("interrupted at step %d; saving checkpoint", step)
             self.ckpt_manager.save(step, state.params, state.batch_stats,
                                    state.opt_state,
