@@ -48,6 +48,12 @@ class BaseInference:
         self.hop = config["hop_size"]
         self.max_batch_chunks = max_batch_chunks
         self.dtype = jnp.bfloat16 if dtype is None else dtype
+        # Host->device audio rides as int16 by default: exactly reproduces
+        # 16-bit-PCM-sourced float waveforms after the on-device /32768
+        # (and halves transfer bytes — the interconnect is the bottleneck at
+        # multi-thousand-x real time). Set transfer_dtype: float32 to ship
+        # floats verbatim (e.g. synthetic float sources needing bit parity).
+        self.transfer_int16 = str(config.get("transfer_dtype", "int16")) == "int16"
         self.model = self.build_model()
         self.variables = self.load_variables()
 
@@ -103,10 +109,13 @@ class BaseInference:
                 # largest sample count that still yields exactly `bucket`
                 # frames (n//hop + 1) — no chunk truncation at bucket edges
                 n_samples = bucket * self.hop - 1
-                audio = np.zeros((len(group), n_samples), dtype=np.float32)
+                wire_dtype = np.int16 if self.transfer_int16 else np.float32
+                audio = np.zeros((len(group), n_samples), dtype=wire_dtype)
                 mask = np.zeros((len(group), bucket), dtype=bool)
                 for row, job in enumerate(group):
                     wave = job["wave"][:n_samples]
+                    if self.transfer_int16:
+                        wave = np.clip(np.round(wave * 32768.0), -32768, 32767)
                     audio[row, :len(wave)] = wave
                     mask[row, :job["frames"]] = True
                 pending.append((group, self.run_bucket(audio, mask)))
