@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_RTF = 300.0  # reference's best published figure (RTX 3080 Ti)
 
 
-def build_engine(batch_chunks: int = 8):
+def build_engine(batch_chunks: int = 32):
     import os
 
     import jax
@@ -61,8 +61,10 @@ def main() -> None:
     engine, config = build_engine()
     sr = config["audio_sample_rate"]
     # smoke-test knobs (SOME_BENCH_*); production defaults otherwise
-    B = int(os.environ.get("SOME_BENCH_B", 8))   # chunks per call
-    T = int(os.environ.get("SOME_BENCH_T", 4096))  # frames/chunk (~47.6 s)
+    # realistic bucket: the silence slicer emits phrase-length chunks
+    # (5-15 s typically); 32 chunks x ~11.9 s keeps ~380 s audio per call
+    B = int(os.environ.get("SOME_BENCH_B", 32))   # chunks per call
+    T = int(os.environ.get("SOME_BENCH_T", 1024))  # frames/chunk (~11.9 s)
     iters = int(os.environ.get("SOME_BENCH_ITERS", 5))
     n_samples = T * engine.hop - 1
 

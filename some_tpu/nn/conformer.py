@@ -56,6 +56,16 @@ class FeedForward(nn.Module):
         return x
 
 
+class _Kernel(nn.Module):
+    """Bare kernel param in its own scope (tree-compatible with nn.Dense)."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 class SelfAttention(nn.Module):
     """Bias-free q / fused-kv MHSA (reference: base_attention.py:8-46).
 
@@ -70,42 +80,62 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
-        from some_tpu.ops.attention import dot_product_attention
+        from some_tpu.ops.attention import (
+            _flash_attention_bhtd, _xla_attention, can_use_flash,
+        )
 
         hidden = self.heads * self.head_dim
-        q = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="q_proj")(x)
-        kv = nn.Dense(hidden * 2, use_bias=False, dtype=self.dtype, name="kv_proj")(x)
-        k, v = jnp.split(kv, 2, axis=-1)
+        B, T, C = x.shape
+        # bias-free projections held as bare kernels (same tree paths and
+        # shapes as nn.Dense: attn/{q_proj,kv_proj}/kernel [C, out]) so the
+        # torch converter layout is unchanged, while the flash path can fold
+        # the head-split transpose into the matmul output layout.
+        q_kernel = _Kernel((C, hidden), name="q_proj")()
+        kv_kernel = _Kernel((C, hidden * 2), name="kv_proj")()
+        scale = self.head_dim ** -0.5
 
-        B, T = x.shape[0], x.shape[1]
-        q = q.reshape(B, T, self.heads, self.head_dim)
-        k = k.reshape(B, T, self.heads, self.head_dim)
-        v = v.reshape(B, T, self.heads, self.head_dim)
-        out = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
-        out = out.astype(self.dtype).reshape(B, T, hidden)
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "flash" if can_use_flash(T, self.head_dim) else "xla"
+        if impl == "flash":
+            qk = q_kernel.astype(self.dtype).reshape(C, self.heads, self.head_dim)
+            kvk = kv_kernel.astype(self.dtype).reshape(
+                C, 2, self.heads, self.head_dim)
+            q = jnp.einsum("btc,chd->bhtd", x, qk)
+            kv = jnp.einsum("btc,cshd->sbhtd", x, kvk)
+            out = _flash_attention_bhtd(q, kv[0], kv[1], mask, scale)
+            out = jnp.swapaxes(out.astype(self.dtype), 1, 2).reshape(B, T, hidden)
+        else:
+            q = (x @ q_kernel.astype(self.dtype)).reshape(
+                B, T, self.heads, self.head_dim)
+            k, v = jnp.split(x @ kv_kernel.astype(self.dtype), 2, axis=-1)
+            k = k.reshape(B, T, self.heads, self.head_dim)
+            v = v.reshape(B, T, self.heads, self.head_dim)
+            out = _xla_attention(q, k, v, mask, scale)
+            out = out.astype(self.dtype).reshape(B, T, hidden)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
 class DepthwiseConv1d(nn.Module):
-    """Per-channel temporal conv, kernel stored as [k, C] (torch [C,1,k].T)."""
+    """Per-channel temporal conv, kernel stored as [k, C] (torch [C,1,k].T).
+
+    Dispatches to the Pallas VMEM-streaming kernel on TPU (XLA's grouped-conv
+    lowering is ~35x off its memory bound at these shapes — see
+    some_tpu/ops/depthwise.py)."""
     channels: int
     kernel_size: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
+        from some_tpu.ops.depthwise import depthwise_conv1d
+
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (self.kernel_size, self.channels), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
-        import jax.lax as lax
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel[:, None, :].astype(self.dtype),
-            window_strides=(1,),
-            padding="SAME",
-            feature_group_count=self.channels,
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        y = depthwise_conv1d(x.astype(self.dtype), kernel.astype(self.dtype),
+                             self.impl)
         return y + bias.astype(self.dtype)
 
 

@@ -52,23 +52,25 @@ def _flash_block_sizes(t: int):
     )
 
 
-def _flash_attention(q, k, v, mask, scale):
-    """Pallas TPU kernel; q,k,v [B, T, H, D] -> [B, T, H, D]."""
+def _flash_attention_bhtd(q, k, v, mask, scale):
+    """Pallas TPU kernel; q,k,v already [B, H, T, D] -> [B, H, T, D]."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds, flash_attention,
     )
 
-    # kernel layout is [B, H, T, D]
-    qt = jnp.swapaxes(q, 1, 2)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
     segment_ids = None
     if mask is not None:
         ids = mask.astype(jnp.int32)  # pad=0, real=1: cross-attention blocked
         segment_ids = SegmentIds(q=ids, kv=ids)
-    out = flash_attention(qt, kt, vt, segment_ids=segment_ids,
-                          causal=False, sm_scale=scale,
-                          block_sizes=_flash_block_sizes(q.shape[1]))
+    return flash_attention(q, k, v, segment_ids=segment_ids,
+                           causal=False, sm_scale=scale,
+                           block_sizes=_flash_block_sizes(q.shape[2]))
+
+
+def _flash_attention(q, k, v, mask, scale):
+    """q,k,v [B, T, H, D] -> [B, T, H, D] (transposing wrapper)."""
+    out = _flash_attention_bhtd(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                                jnp.swapaxes(v, 1, 2), mask, scale)
     return jnp.swapaxes(out, 1, 2)
 
 
