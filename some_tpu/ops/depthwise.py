@@ -21,15 +21,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dw_kernel_strided(x_ref, w_ref, out_ref, scratch, sem, *,
-                       k: int, block_t: int, halo: int):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_ref.at[b, pl.ds(t * block_t, block_t + halo), :],
-        scratch, sem)
-    copy.start()
-    copy.wait()
+def _dw_kernel(cur_ref, nxt_ref, w_ref, out_ref, scratch, *,
+               k: int, block_t: int, halo: int):
+    """Two pipelined VMEM views (block t and t+1) provide the halo; the
+    Pallas grid pipeline double-buffers their DMAs automatically, unlike a
+    manual copy.start/wait pair which serializes DMA latency per step."""
+    scratch[:block_t, :] = cur_ref[0]
+    scratch[block_t:, :] = nxt_ref[0, :halo, :]
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
     for tap in range(k):
         acc += scratch[tap:tap + block_t, :].astype(jnp.float32) * \
@@ -43,17 +41,20 @@ def _pallas_depthwise_strided(x: jnp.ndarray, w: jnp.ndarray,
     B, T, C = x.shape
     k = w.shape[0]
     half = (k - 1) // 2
-    # Mosaic requires DMA slice lengths 8-aligned: round the halo up and
-    # over-pad the source so every [block_t + halo] slice stays in bounds.
     halo = ((k - 1 + 7) // 8) * 8
-    x_pad = jnp.pad(x, ((0, 0), (half, halo - half), (0, 0)))
+    # left-shift by half so y[i] reads rows [i, i+k); one extra block of
+    # zeros at the end keeps the (t+1) view in bounds on the last step
+    x_pad = jnp.pad(x, ((0, 0), (half, (block_t + halo) - half), (0, 0)))
 
     grid = (B, T // block_t)
     return pl.pallas_call(
-        functools.partial(_dw_kernel_strided, k=k, block_t=block_t, halo=halo),
+        functools.partial(_dw_kernel, k=k, block_t=block_t, halo=halo),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM; manual DMA
+            pl.BlockSpec((1, block_t, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t, C), lambda b, t: (b, t + 1, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((k, C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -62,10 +63,9 @@ def _pallas_depthwise_strided(x: jnp.ndarray, w: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_t + halo, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x_pad, w)
+    )(x_pad, x_pad, w)
 
 
 def _xla_depthwise(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
