@@ -226,25 +226,28 @@ class ConformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True, use_running_average: bool = True):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+        # LayerNorm statistics are always f32 inside flax (_compute_stats
+        # upcasts); dtype=self.dtype keeps the normalized tensor in compute
+        # precision instead of materializing f32 copies around every norm.
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
                         dtype=self.dtype, name="ffn1")(
-            ln("norm1")(x).astype(self.dtype), deterministic) * 0.5 + x
+            ln("norm1")(x), deterministic) * 0.5 + x
         att = SelfAttention(self.dim, self.heads, self.head_dim,
                             dtype=self.dtype, attn_impl=self.attn_impl,
                             name="attn")(
-            ln("norm2")(x).astype(self.dtype), mask=mask)
+            ln("norm2")(x), mask=mask)
         if self.attention_drop > 0:
             att = nn.Dropout(self.attention_drop, deterministic=deterministic)(att)
         x = att + x
         x = ConvModule(self.dim, self.kernel_size, self.conv_drop,
                        dtype=self.dtype, name="conv")(
-            ln("norm3")(x).astype(self.dtype), mask=mask,
+            ln("norm3")(x), mask=mask,
             deterministic=deterministic, use_running_average=use_running_average) + x
         x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
                         dtype=self.dtype, name="ffn2")(
-            ln("norm4")(x).astype(self.dtype), deterministic) * 0.5 + x
-        return ln("norm5")(x).astype(self.dtype)
+            ln("norm4")(x), deterministic) * 0.5 + x
+        return ln("norm5")(x)
 
 
 class DualStreamBlock(nn.Module):
