@@ -308,6 +308,7 @@ class MidiConformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     mask_attention: bool = True
     attn_impl: str = "auto"
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, pitch=None, mask: Optional[jnp.ndarray] = None,
@@ -329,9 +330,17 @@ class MidiConformer(nn.Module):
         bound = nn.Dense(self.dim, dtype=self.dtype, name="in_proj_bound")(x)
         if mask is not None:
             midi = jnp.where(mask[..., None], midi, 0)
+        # Rematerialize each dual-stream layer on the backward pass: without
+        # it the 8x512 model's training activations exceed v5e HBM at the
+        # reference's 80k-frame batch budget (jax.checkpoint trades ~1/3
+        # recompute for O(layers) -> O(1) activation memory per layer).
+        block_cls = DualStreamBlock
+        if self.remat:
+            block_cls = nn.remat(DualStreamBlock, static_argnums=(4, 5))
         for i in range(self.lay):
-            midi, bound = DualStreamBlock(**block_args, name=f"layer_{i}")(
-                midi, bound, **kwargs)
+            midi, bound = block_cls(**block_args, name=f"layer_{i}")(
+                midi, bound, mask, kwargs["deterministic"],
+                kwargs["use_running_average"])
             if mask is not None:
                 midi = jnp.where(mask[..., None], midi, 0)
         midi = ConformerBlock(**block_args, name="final_midi")(midi, **kwargs)

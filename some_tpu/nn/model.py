@@ -30,6 +30,7 @@ class MidiExtractor(nn.Module):
     dtype: jnp.dtype = jnp.float32
     mask_attention: bool = True
     attn_impl: str = "auto"
+    remat: bool = True
 
     def setup(self):
         self.backbone = MidiConformer(
@@ -40,7 +41,7 @@ class MidiExtractor(nn.Module):
             attention_heads=self.attention_heads,
             attention_heads_dim=self.attention_heads_dim,
             dtype=self.dtype, mask_attention=self.mask_attention,
-            attn_impl=self.attn_impl,
+            attn_impl=self.attn_impl, remat=self.remat,
         )
 
     def __call__(self, x, f0=None, mask: Optional[jnp.ndarray] = None,
@@ -70,5 +71,6 @@ def build_midi_extractor(config: dict, dtype=jnp.float32,
     return MidiExtractor(
         indim=config["units_dim"], outdim=config["midi_num_bins"],
         dtype=dtype, mask_attention=mask_attention,
-        attn_impl=config.get("attention_impl", "auto"), **args,
+        attn_impl=config.get("attention_impl", "auto"),
+        remat=bool(config.get("use_remat", True)), **args,
     )

@@ -126,6 +126,15 @@ class BaseTask:
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=opt_state, step=jnp.asarray(0, jnp.int32))
 
+    def place_state(self, state: TrainState) -> TrainState:
+        """Commit the state to the mesh with the replicated sharding the
+        train step emits — otherwise the first step call compiles a second
+        executable for the uncommitted-input layout."""
+        if self.mesh is None:
+            return state
+        from some_tpu.parallel.mesh import replicated_sharding
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
     def load_variables(self, variables: dict, state: Optional[TrainState] = None
                        ) -> TrainState:
         """Overwrite params/batch_stats (e.g. from a converted torch ckpt)."""

@@ -148,7 +148,7 @@ class Trainer:
 
         train_step = self.task.make_train_step(self.mesh)
         self.task.make_valid_step(self.mesh)
-        state = self.restore_or_init()
+        state = self.task.place_state(self.restore_or_init())
         # state.step counts micro-batches; reference 'global_step' counts
         # optimizer updates — with grad accumulation they differ by k
         k = getattr(self.task, "grad_accum", 1)
