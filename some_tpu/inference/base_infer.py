@@ -12,7 +12,6 @@ bucketing costs no parity.
 """
 from __future__ import annotations
 
-import functools
 import pathlib
 from typing import Dict, List
 

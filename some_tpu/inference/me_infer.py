@@ -9,7 +9,6 @@ waveform to note arrays is one jitted XLA program per bucket.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

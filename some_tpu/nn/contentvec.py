@@ -17,10 +17,9 @@ dict (used as the numeric parity oracle in tests).
 """
 from __future__ import annotations
 
-import io
 import pathlib
 import pickle
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ unvoiced interpolation, resample the curve to the caller's hop grid.
 from __future__ import annotations
 
 import pathlib
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -2,10 +2,10 @@
 
 XLA lowers ``feature_group_count=C`` 1-D convs poorly on TPU (measured
 ~2.9 ms for [8, 4096, 512] k=31 bf16 — ~35x worse than its HBM-traffic bound).
-This kernel streams the sequence through VMEM once: each grid step DMAs a
-[block_t + k - 1, C] haloed slice from HBM, accumulates the k taps as VPU
-fused multiply-adds in f32, and writes [block_t, C] back. The halo comes from
-an XLA-side zero pad so every DMA starts block-aligned.
+This kernel streams the sequence once through VMEM: each grid step reads two
+pipelined block views (block t plus block t+1 for the halo — Pallas
+double-buffers their DMAs automatically), accumulates the k taps as VPU
+fused multiply-adds in f32, and writes [block_t, C] back.
 
 Training uses a custom VJP: dx is the same kernel with time-flipped weights
 (correlation <-> convolution duality), dw reduces x-window x dy products per

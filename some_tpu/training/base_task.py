@@ -121,6 +121,11 @@ class BaseTask:
             {"params": rng}, example_batch["units"], f0=example_batch.get("pitch"),
             mask=example_batch.get("mask"))
         params = variables["params"]
+        if self.config.get("torch_style_init", True):
+            # start from the same weight distributions as the torch
+            # reference (see some_tpu/nn/init.py)
+            from some_tpu.nn.init import torch_style_init
+            params = torch_style_init(params, seed=seed)
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
         return TrainState(params=params, batch_stats=batch_stats,
