@@ -1,0 +1,150 @@
+"""End-to-end learning smoke: synthesize a dataset, binarize, train, measure.
+
+Proves the full stack learns: synthetic "singing" (sine tones at labeled
+note pitches with vibrato + noise) -> binarize.py pipeline -> Trainer ->
+midi_acc well above chance. Not a unit test (minutes of wall clock); run:
+
+    SOME_TPU_PLATFORM=cpu python tools/smoke_train.py --steps 200
+"""
+import argparse
+import csv
+import json
+import pathlib
+import sys
+import tempfile
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+SR = 44100
+
+
+def synth_song(rng, notes, durs):
+    from some_tpu.utils.note_names import midi_to_hz
+
+    total = sum(durs)
+    n = int(SR * total)
+    t = np.arange(n) / SR
+    freq = np.zeros(n)
+    cursor = 0.0
+    for midi, dur in zip(notes, durs):
+        lo, hi = int(cursor * SR), int((cursor + dur) * SR)
+        freq[lo:hi] = 0.0 if midi is None else midi_to_hz(midi)
+        cursor += dur
+    vib = 1 + 0.004 * np.sin(2 * np.pi * 5.5 * t)
+    wave = 0.4 * np.sin(2 * np.pi * np.cumsum(freq * vib) / SR) * (freq > 0)
+    wave += 0.003 * rng.standard_normal(n)
+    return wave.astype(np.float32)
+
+
+def make_dataset(root: pathlib.Path, rng, n_items=12):
+    from some_tpu.audio.wavio import save_wav
+    from some_tpu.utils.note_names import midi_to_note
+
+    wavs = root / "wavs"
+    wavs.mkdir(parents=True)
+    rows = []
+    for i in range(n_items):
+        n_notes = int(rng.integers(4, 9))
+        notes, names, durs = [], [], []
+        for _ in range(n_notes):
+            if rng.random() < 0.2:
+                notes.append(None)
+                names.append("rest")
+            else:
+                midi = float(rng.integers(52, 76)) + round(float(rng.uniform(-0.3, 0.3)), 2)
+                notes.append(midi)
+                names.append(midi_to_note(midi, cents=True, unicode=False))
+            durs.append(round(float(rng.uniform(0.25, 0.7)), 3))
+        name = f"song{i}"
+        save_wav(wavs / f"{name}.wav", synth_song(rng, notes, durs), SR)
+        (wavs / f"{name}.ds").write_text(json.dumps([{
+            "note_seq": " ".join(names),
+            "note_dur": " ".join(str(d) for d in durs),
+            "note_slur": " ".join("0" for _ in durs),
+        }]))
+        rows.append({"name": name, "ph_seq": "a", "ph_dur": str(sum(durs)),
+                     "ph_num": "1"})
+    with open(root / "transcriptions.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["name", "ph_seq", "ph_dur", "ph_num"])
+        writer.writeheader()
+        writer.writerows(rows)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--dim", type=int, default=64)
+    parser.add_argument("--lay", type=int, default=2)
+    parser.add_argument("--workdir", default=None)
+    args = parser.parse_args()
+
+    base = pathlib.Path(args.workdir or tempfile.mkdtemp(prefix="smoke_train_"))
+    raw, binary, work = base / "raw", base / "binary", base / "work"
+    rng = np.random.default_rng(2026)
+    print(f"| workspace: {base}")
+    if not (raw / "transcriptions.csv").exists():
+        make_dataset(raw, rng)
+
+    config = {
+        "raw_data_dir": [str(raw)], "binary_data_dir": str(binary),
+        "binarization_args": {"num_workers": 0, "shuffle": True,
+                              "skip_glide": True, "merge_rest": True,
+                              "merge_slur": True, "round_midi": False,
+                              "slur_tolerance": 0.5},
+        "audio_sample_rate": SR, "hop_size": 512, "win_size": 2048,
+        "fmin": 40, "fmax": 8000, "units_dim": 80, "units_encoder": "mel",
+        "pe": "yin", "pe_ckpt": None,
+        "key_shift_factor": 1, "key_shift_range": [-5, 5],
+        "test_prefixes": ["song0"], "seed": 114514,
+        "midi_min": 0, "midi_max": 127, "midi_num_bins": 128,
+        "midi_prob_deviation": 1.0, "rest_threshold": 0.1,
+        "use_midi_loss": True, "use_bound_loss": True,
+        "optimizer_args": {"optimizer_cls": "torch.optim.AdamW", "lr": 5e-4,
+                           "beta1": 0.9, "beta2": 0.98, "weight_decay": 0},
+        "lr_scheduler_args": {"scheduler_cls": "lr_scheduler.scheduler.WarmupLR",
+                              "warmup_steps": 40, "min_lr": 1e-5},
+        "clip_grad_norm": 1, "frame_bucket_grid": 64,
+        "max_batch_frames": 8000, "max_batch_size": 8,
+        "max_val_batch_frames": 4000, "max_val_batch_size": 1,
+        "num_valid_plots": 0, "log_interval": 20, "num_sanity_val_steps": 0,
+        "val_check_interval": max(args.steps // 2, 50),
+        "num_ckpt_keep": 2, "max_updates": 100000,
+        "permanent_ckpt_start": 0, "permanent_ckpt_interval": 0,
+        "sampler_frame_count_grid": 6, "accumulate_grad_batches": 1,
+        "sort_by_len": True,
+        "midi_extractor_args": {
+            "lay": args.lay, "dim": args.dim, "use_lay_skip": True,
+            "kernel_size": 15, "conv_drop": 0.1, "ffn_latent_drop": 0.1,
+            "ffn_out_drop": 0.1, "attention_drop": 0.1, "attention_heads": 2,
+            "attention_heads_dim": 32},
+    }
+
+    from some_tpu.preprocessing.me_binarizer import MIDIExtractionBinarizer
+    if not (binary / "train.data").exists():
+        MIDIExtractionBinarizer(dict(config)).process()
+
+    import jax
+    from some_tpu.parallel.mesh import make_mesh, shard_batch
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from some_tpu.training.trainer import Trainer
+
+    task = MIDIExtractionTask(dict(config))
+    trainer = Trainer(task, work, mesh=make_mesh(jax.devices()[:1]))
+    state = trainer.fit(max_steps=args.steps)
+
+    # final midi_acc on the validation item
+    (valid_ds, valid_sizes) = task.load_datasets()[1]
+    valid_step = task._valid_step
+    batch = task.collate([valid_ds[0]])
+    losses, extras = valid_step(state, shard_batch(batch, trainer.mesh))
+    acc = int(extras["midi_acc_correct"]) / max(int(extras["midi_acc_total"]), 1)
+    print(f"| after {int(state.step)} steps: val midi_acc = {acc:.3f} "
+          f"(chance for a 24-semitone range ~= 0.04)")
+    print(f"| losses: " + " ".join(f"{k}={float(v):.4f}" for k, v in losses.items()))
+    return 0 if acc > 0.3 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
