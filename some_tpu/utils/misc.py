@@ -47,3 +47,17 @@ def print_arch(model, params=None, model_name: str = "model") -> None:
     print(f"| {model_name} Arch: ", model)
     if params is not None:
         num_params(params, model_name=model_name)
+
+
+def random_continuous_masks(*shape: int, dim: int, rng=None) -> np.ndarray:
+    """Random contiguous True spans along ``dim``
+    (reference: utils/__init__.py:37-47; unused upstream, kept for parity)."""
+    rng = np.random.default_rng() if rng is None else rng
+    lohi = np.sort(rng.integers(0, shape[dim] + 1,
+                                size=(*shape[:dim], 2,
+                                      *((1,) * (len(shape) - dim - 1)))), axis=dim)
+    start = np.expand_dims(np.take(lohi, 0, axis=dim), dim)
+    end = np.expand_dims(np.take(lohi, 1, axis=dim), dim)
+    idx = np.arange(shape[dim]).reshape(
+        *((1,) * dim), shape[dim], *((1,) * (len(shape) - dim - 1)))
+    return (idx >= start) & (idx < end)
