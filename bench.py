@@ -54,11 +54,31 @@ def build_engine(batch_chunks: int = 32):
     return engine, config
 
 
+def _watchdog(seconds: float):
+    """The dev TPU tunnel can hang indefinitely; emit a sentinel result and
+    hard-exit rather than stalling the harness."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "inference_rtf_x_realtime", "value": 0.0,
+            "unit": f"TIMEOUT after {seconds}s — TPU backend unresponsive",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+    timer = threading.Timer(seconds, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def main() -> None:
     import os
 
     import jax
 
+    watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
     engine, config = build_engine()
     sr = config["audio_sample_rate"]
     # smoke-test knobs (SOME_BENCH_*); production defaults otherwise
@@ -105,6 +125,7 @@ def main() -> None:
     jax.block_until_ready(out)
     compute_rtf = audio_seconds * iters / (time.perf_counter() - t0)
 
+    watchdog.cancel()
     args = config["midi_extractor_args"]
     print(json.dumps({
         "metric": "inference_rtf_x_realtime",
