@@ -44,6 +44,8 @@ class DeploymentExporter:
         out_dir.mkdir(parents=True, exist_ok=True)
         hop = self.engine.hop
         manifest: Dict[str, dict] = {}
+        from some_tpu.ops.dispatch import portable_mode
+
         engine = self.engine
         variables = jax.device_put(engine.variables)
 
@@ -54,10 +56,13 @@ class DeploymentExporter:
         for bucket in buckets:
             n_samples = bucket * hop - 1
             fn = jax.jit(pipeline)
-            exported = jexport.export(fn, platforms=list(platforms))(
-                jax.ShapeDtypeStruct((1, n_samples), np.float32),
-                jax.ShapeDtypeStruct((1, bucket), np.bool_),
-            )
+            # portable_mode: multi-platform artifacts must avoid Pallas
+            # kernels (they only lower for the TPU target)
+            with portable_mode():
+                exported = jexport.export(fn, platforms=list(platforms))(
+                    jax.ShapeDtypeStruct((1, n_samples), np.float32),
+                    jax.ShapeDtypeStruct((1, bucket), np.bool_),
+                )
             blob = exported.serialize()
             name = f"bucket_{bucket}.stablehlo"
             (out_dir / name).write_bytes(blob)

@@ -76,6 +76,9 @@ def _flash_attention(q, k, v, mask, scale):
 
 def can_use_flash(t: int, head_dim: int) -> bool:
     """Shipped kernel wants the sequence on a 128 grid and lane-sized heads."""
+    from some_tpu.ops.dispatch import portable
+    if portable():
+        return False  # multi-platform export: Pallas can't lower for CPU
     try:
         platform = jax.devices()[0].platform
     except Exception:

@@ -95,12 +95,14 @@ def depthwise_conv1d(x: jnp.ndarray, w: jnp.ndarray, impl: str = "auto"):
 
 def _forward(x, w, impl):
     if impl == "auto":
+        from some_tpu.ops.dispatch import portable
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
         block_t = _choose_block_t(x.shape[1])
-        impl = "pallas" if (on_tpu and block_t >= 64) else "xla"
+        impl = "pallas" if (on_tpu and block_t >= 64 and not portable()) \
+            else "xla"
     if impl.startswith("pallas"):
         return _pallas_depthwise_strided(
             x, w, block_t=_choose_block_t(x.shape[1]),

@@ -208,3 +208,17 @@ class TestYinPitch:
         w = np.zeros(44100, np.float32)
         f0, uv = yin_pitch(w, 44100, 512, 87, interp_uv=False)
         assert uv.all() or (f0 == 150.0).all()
+
+
+class TestPortableDispatch:
+    def test_portable_mode_disables_pallas(self):
+        """Multi-platform export must avoid Pallas kernels (cpu target
+        cannot lower them); portable_mode forces the XLA paths."""
+        from some_tpu.ops.attention import can_use_flash
+        from some_tpu.ops.dispatch import portable, portable_mode
+
+        assert not portable()
+        with portable_mode():
+            assert portable()
+            assert can_use_flash(1024, 64) is False
+        assert not portable()
