@@ -222,3 +222,40 @@ class TestPortableDispatch:
             assert portable()
             assert can_use_flash(1024, 64) is False
         assert not portable()
+
+
+class TestWireFormat:
+    def test_int16_wire_lossless_for_pcm16_sources(self):
+        """For audio that came from 16-bit PCM (all real WAVs in this
+        pipeline), the int16 wire + on-device /32768 reproduces the float
+        waveform exactly, so decoded notes are identical to the f32 wire."""
+        import jax
+        import jax.numpy as jnp
+
+        from some_tpu.inference.me_infer import MIDIExtractionInference
+        from some_tpu.nn.model import build_midi_extractor
+
+        config = dict(TINY_MODEL_CONFIG)
+        model = build_midi_extractor(config, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(3),
+                               np.zeros((1, 64, 80), np.float32),
+                               mask=np.ones((1, 64), bool))
+        # quantize the synthetic wave to the 16-bit grid (like load_wav does)
+        w = synth(1.0, 440, seed=9)
+        w = (np.round(np.clip(w, -1, 1) * 32768.0).clip(-32768, 32767)
+             / 32768.0).astype(np.float32)
+
+        eng_i16 = MIDIExtractionInference.from_variables(
+            dict(config), variables, dtype=jnp.float32)
+        assert eng_i16.transfer_int16
+        cfg_f32 = dict(config)
+        cfg_f32["transfer_dtype"] = "float32"
+        eng_f32 = MIDIExtractionInference.from_variables(
+            cfg_f32, variables, dtype=jnp.float32)
+        assert not eng_f32.transfer_int16
+
+        out_i16 = eng_i16.infer([w])[0]
+        out_f32 = eng_f32.infer([w])[0]
+        np.testing.assert_array_equal(out_i16["note_midi"], out_f32["note_midi"])
+        np.testing.assert_array_equal(out_i16["note_dur"], out_f32["note_dur"])
+        np.testing.assert_array_equal(out_i16["note_rest"], out_f32["note_rest"])
