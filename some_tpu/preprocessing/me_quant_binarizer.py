@@ -33,10 +33,11 @@ class QuantizedMIDIExtractionBinarizer(MIDIExtractionBinarizer):
         items = [base]
         if not allow_aug:
             return items
+        rng = random.Random(f"{self.config.get('seed', 0)}:{item_name}")
         for _ in range(self.key_shift_factor):
             assert self.config["units_encoder"] == "mel", \
                 "Units encoder must be mel if augmentation is applied!"
-            shift = random.randint(int(self.key_shift_min), int(self.key_shift_max))
+            shift = rng.randint(int(self.key_shift_min), int(self.key_shift_max))
             aug = dict(base)
             aug["units"] = self.compute_units(waveform, keyshift=shift)
             aug["pitch"] = base["pitch"] + shift

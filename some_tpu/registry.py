@@ -34,6 +34,9 @@ REFERENCE_ALIASES: Dict[str, str] = {
     "torch.optim.Adam": "some_tpu.training.optimizers.Adam",
     "lr_scheduler.scheduler.WarmupLR": "some_tpu.training.schedules.WarmupLR",
     "lr_scheduler.scheduler.SGDRLR": "some_tpu.training.extra_schedules.SGDRLR",
+    "lr_scheduler.scheduler.LSGDRLR": "some_tpu.training.extra_schedules.LSGDRLR",
+    "lr_scheduler.scheduler.V2LSGDRLR": "some_tpu.training.extra_schedules.V2LSGDRLR",
+    "lr_scheduler.scheduler.V3LSGDRLR": "some_tpu.training.extra_schedules.V3LSGDRLR",
     "lr_scheduler.scheduler.NoamHoldAnnealing":
         "some_tpu.training.extra_schedules.NoamHoldAnnealing",
     "utils.training_utils.WarmupCosineSchedule":

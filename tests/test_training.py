@@ -186,6 +186,91 @@ def test_sampler_determinism_and_partition(rng):
             assert len(b) * max(sizes[i] for i in b) <= 2000 or len(b) == 1
 
 
+def test_lsgdr_family_matches_reference_formulas():
+    """LSGDRLR/V2/V3 curves vs an independent pure-python oracle of the
+    reference math (lr_scheduler/scheduler.py:132-305), and registry aliases
+    resolve the reference class paths."""
+    import math
+
+    from some_tpu.registry import resolve_class
+    from some_tpu.training.extra_schedules import LSGDRLR, V2LSGDRLR, V3LSGDRLR
+
+    for ref_path, cls in [("lr_scheduler.scheduler.LSGDRLR", LSGDRLR),
+                          ("lr_scheduler.scheduler.V2LSGDRLR", V2LSGDRLR),
+                          ("lr_scheduler.scheduler.V3LSGDRLR", V3LSGDRLR)]:
+        assert resolve_class(ref_path) is cls
+
+    def oracle_l(step):  # scheduler.py:171-174 (step_num = last_epoch+1)
+        s = step + 1
+        return 0.0 * 0.9999 ** s + math.cos(math.pi * s / 1500)
+
+    def oracle_v2(step):  # scheduler.py:228-243 ctxadjust_lr defaults
+        s = step + 1
+        t0, emin, emax, tmctx, ws = 15000, 1e-7, 6e-5, 0.99, 8000
+        t_cur = (s + ws) % t0
+        t_curx = (s + ws) // t0
+        lr = emin + 0.5 * (emax * tmctx ** t_curx - emin * tmctx ** t_curx) * (
+            1 + math.cos(math.pi * t_cur / t0))
+        return s * (emax / ws) if ws > s else lr
+
+    def oracle_v3(step):  # scheduler.py:276-285 ctxadjust_lr defaults
+        s = step + 1
+        t0, emin, emax, tmctx, ws = 15000, 6e-5, 9e-5, 0.98, 5000
+        t_cur = (s + ws) % t0
+        t_curx = (s + ws) // t0
+        lr = emin * tmctx ** t_curx + 0.5 * (
+            emax * tmctx ** t_curx - emin * tmctx ** t_curx) * (
+            1 + math.cos(math.pi * t_cur / t0))
+        return s * (emax / ws) if ws > s else lr
+
+    steps = [0, 1, 499, 4999, 7998, 7999, 8000, 14999, 15000, 22499, 60000]
+    for sched, oracle in [(LSGDRLR(lr=1e-4), oracle_l),
+                          (V2LSGDRLR(lr=1e-4), oracle_v2),
+                          (V3LSGDRLR(lr=1e-4), oracle_v3)]:
+        for step in steps:
+            got, want = float(sched(step)), oracle(step)
+            assert got == pytest.approx(want, rel=2e-5, abs=1e-10), \
+                (type(sched).__name__, step, got, want)
+
+
+def test_binarizer_keyshift_is_seeded(monkeypatch, tmp_path):
+    """Augmentation shifts are deterministic per (seed, item): repeated
+    process_item calls yield identical shifts regardless of global RNG state."""
+    import random as _random
+
+    import some_tpu.preprocessing.me_binarizer as mb
+
+    class _Probe(mb.MIDIExtractionBinarizer):
+        def __init__(self):  # skip full config plumbing
+            self.config = {"seed": 7, "units_encoder": "mel",
+                           "audio_sample_rate": 16000}
+            self.key_shift_factor = 3
+            self.key_shift_min, self.key_shift_max = -5.0, 5.0
+            self.round_midi = False
+
+        def compute_units(self, waveform, keyshift=0):
+            return np.full((4, 2), keyshift, np.float32)
+
+        def _process_item(self, waveform, meta_data, int_midi=False):
+            return {"units": np.zeros((4, 2), np.float32),
+                    "pitch": np.zeros(4, np.float32),
+                    "note_midi": np.zeros(2, np.float32)}
+
+    monkeypatch.setattr(mb, "load_wav",
+                        lambda fn, sr, mono: (np.zeros(16000, np.float32), sr))
+    probe = _Probe()
+    _random.seed(0)
+    run1 = probe.process_item("item_x", {"wav_fn": "x.wav"}, allow_aug=True)
+    _random.seed(12345)  # global RNG state must not matter
+    run2 = probe.process_item("item_x", {"wav_fn": "x.wav"}, allow_aug=True)
+    shifts1 = [float(i["units"][0, 0]) for i in run1[1:]]
+    shifts2 = [float(i["units"][0, 0]) for i in run2[1:]]
+    assert len(shifts1) == 3 and shifts1 == shifts2
+    # a different item draws different shifts
+    run3 = probe.process_item("item_y", {"wav_fn": "y.wav"}, allow_aug=True)
+    assert [float(i["units"][0, 0]) for i in run3[1:]] != shifts1
+
+
 def test_warmup_lr_matches_torch_semantics():
     """WarmupLR values match the reference formula incl. the min_lr floor."""
     from some_tpu.training.schedules import WarmupLR
