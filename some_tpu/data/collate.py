@@ -88,5 +88,8 @@ def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
         bm = np.zeros((B_pad,), dtype=bool)
         bm[:B] = True
         out["batch_mask"] = bm
+    # pre-bucketing time length (what the torch reference's batch-max-T would
+    # be), shape (1,) so shard_batch replicates it onto the device
+    out["t_real"] = np.full((1,), T, np.int32)
     out["size"] = B
     return out

@@ -64,6 +64,22 @@ def binary_emd_per_row(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
                    - jnp.cumsum(target, axis=1) / scale).mean(axis=1)
 
 
+def binary_emd_per_row_masked(pred: jnp.ndarray, target: jnp.ndarray,
+                              frame_w: jnp.ndarray, t_real: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Per-row EMD restricted to the first t_real frames.
+
+    Matches the reference EMD (bound_loss.py:6-19) computed on a batch padded
+    only to its max length — TPU bucket-padding frames (>= t_real) contribute
+    nothing to the cumsum, the L1 sum, or the normalizers.
+    """
+    denom = jnp.maximum(t_real, 1.0)
+    scale = jnp.sqrt(denom)
+    diff = jnp.abs(jnp.cumsum(pred * frame_w, axis=1)
+                   - jnp.cumsum(target * frame_w, axis=1)) / scale
+    return (diff * frame_w).sum(axis=1) / denom
+
+
 def cross_entropy_ignore(logits: jnp.ndarray, labels: jnp.ndarray,
                          ignore_index: int = -1) -> jnp.ndarray:
     """logits [B, T, C], labels [B, T] int; mean over non-ignored positions."""

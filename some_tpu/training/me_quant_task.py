@@ -42,7 +42,12 @@ class QuantizedMIDIExtractionTask(MIDIExtractionTask):
             losses["midi_loss"] = L.cross_entropy_ignore(midi_logits, labels)
         if self.use_bound_loss:
             bounds_target = bounds_from_alignment(batch["unit2note"])
-            per_row = L.binary_emd_per_row(bounds_pred, bounds_target)
+            t_real, frame_w = self._frame_weights(batch, bounds_pred.shape[1])
+            if frame_w is None:
+                per_row = L.binary_emd_per_row(bounds_pred, bounds_target)
+            else:
+                per_row = L.binary_emd_per_row_masked(
+                    bounds_pred, bounds_target, frame_w, t_real)
             losses["bound_loss"] = (per_row * row_w).sum() / n_rows
         return losses
 

@@ -59,6 +59,21 @@ class MIDIExtractionTask(BaseTask):
         self.rest_threshold = config["rest_threshold"]
         self.use_bound_loss = config.get("use_bound_loss", True)
         self.use_midi_loss = config.get("use_midi_loss", True)
+        # True (default): losses are computed over exactly the frames the
+        # torch reference would see (batch padded to its max length), so
+        # bucket-grid padding does not dilute the loss scale. False keeps
+        # the round-1 whole-padded-tensor mean.
+        self.loss_exclude_bucket_padding = config.get(
+            "loss_exclude_bucket_padding", True)
+
+    def _frame_weights(self, batch, t_pad: int):
+        """(t_real float scalar, [T] 0/1 weights) or (None, None) in legacy
+        whole-tensor-mean mode."""
+        if not self.loss_exclude_bucket_padding or "t_real" not in batch:
+            return None, None
+        t_real = batch["t_real"][0]
+        frame_w = (jnp.arange(t_pad) < t_real).astype(jnp.float32)
+        return t_real.astype(jnp.float32), frame_w
 
     def build_model(self):
         return build_midi_extractor(self.config, dtype=self.compute_dtype)
@@ -71,6 +86,8 @@ class MIDIExtractionTask(BaseTask):
         row_w = batch["batch_mask"].astype(jnp.float32)            # [B]
         n_rows = jnp.maximum(row_w.sum(), 1.0)
 
+        t_real, frame_w = self._frame_weights(batch, midi_logits.shape[1])
+
         losses = {}
         if self.use_midi_loss:
             probs_target = gaussian_note_targets(
@@ -78,11 +95,20 @@ class MIDIExtractionTask(BaseTask):
                 batch["unit2note"], self.midi_min, self.midi_max,
                 self.num_bins, self.midi_deviation)
             per_elem = L.bce_with_logits_elementwise(midi_logits, probs_target)
-            losses["midi_loss"] = (
-                (per_elem.mean(axis=(1, 2)) * row_w).sum() / n_rows)
+            if frame_w is None:
+                losses["midi_loss"] = (
+                    (per_elem.mean(axis=(1, 2)) * row_w).sum() / n_rows)
+            else:
+                w = row_w[:, None, None] * frame_w[None, :, None]
+                denom = n_rows * jnp.maximum(t_real, 1.0) * per_elem.shape[2]
+                losses["midi_loss"] = (per_elem * w).sum() / denom
         if self.use_bound_loss:
             bounds_target = bounds_from_alignment(batch["unit2note"])
-            per_row = L.binary_emd_per_row(bounds_pred, bounds_target)
+            if frame_w is None:
+                per_row = L.binary_emd_per_row(bounds_pred, bounds_target)
+            else:
+                per_row = L.binary_emd_per_row_masked(
+                    bounds_pred, bounds_target, frame_w, t_real)
             losses["bound_loss"] = (per_row * row_w).sum() / n_rows
         return losses
 

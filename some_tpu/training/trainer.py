@@ -79,6 +79,11 @@ class Trainer:
         meta = ckpt.get("meta", {})
         k = getattr(self.task, "grad_accum", 1)
         micro = int(meta.get("micro_step", int(meta.get("step", 0)) * k))
+        # Fit-loop position for resume-deterministic data order
+        # (reference: Lightning's loops.state_dict restores epoch + batch
+        # progress, utils/training_utils.py:206-211, train.py:98).
+        self._resume_epoch = int(meta.get("epoch", 0))
+        self._resume_epoch_batch = int(meta.get("epoch_batch", 0))
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=opt_state, step=np.int32(micro))
 
@@ -166,15 +171,26 @@ class Trainer:
             progress = None
 
         profile_dir = self.config.get("profile_dir")
-        epoch = 0
+        # Resume mid-epoch at the exact sampler position: the sampler is a
+        # pure function of (seed, epoch), so skipping the first `skip`
+        # batches replays the uninterrupted data order deterministically.
+        epoch = getattr(self, "_resume_epoch", 0)
+        skip = getattr(self, "_resume_epoch_batch", 0)
+        epoch_batch = skip
         micro_step = int(state.step)
         t_last = time.time()
         try:
             while micro_step < target:
                 sampler.set_epoch(epoch)
+                epoch_batch = 0
                 for batch_idx_list in sampler:
                     if micro_step >= target:
                         break
+                    if skip > 0:
+                        skip -= 1
+                        epoch_batch += 1
+                        continue
+                    epoch_batch += 1
                     items = [train_ds[i] for i in batch_idx_list]
                     batch = self.task.collate(items)
                     batch = shard_batch(batch, self.mesh)
@@ -211,15 +227,25 @@ class Trainer:
                         self._validate(state, valid_ds, val_sampler)
                         self.ckpt_manager.save(
                             step, state.params, state.batch_stats, state.opt_state,
-                            extra_meta={"micro_step": int(state.step)})
-                epoch += 1
+                            extra_meta={"micro_step": int(state.step),
+                                        "epoch": epoch, "epoch_batch": epoch_batch})
+                else:
+                    # epoch exhausted (no break): advance; a break on
+                    # target keeps (epoch, epoch_batch) at the exact
+                    # mid-epoch position for the final checkpoint meta
+                    epoch += 1
+                    epoch_batch = 0
+                    continue
+                break
         except KeyboardInterrupt:
             # preemption/interrupt safety: persist the exact current step
             step = int(state.step) // k
             log.warning("interrupted at step %d; saving checkpoint", step)
             self.ckpt_manager.save(step, state.params, state.batch_stats,
                                    state.opt_state,
-                                   extra_meta={"micro_step": int(state.step)})
+                                   extra_meta={"micro_step": int(state.step),
+                                               "epoch": epoch,
+                                               "epoch_batch": epoch_batch})
             raise
         finally:
             if progress is not None:
@@ -230,7 +256,9 @@ class Trainer:
                 final_step > self.ckpt_manager_last_saved_step():
             self.ckpt_manager.save(final_step, state.params, state.batch_stats,
                                    state.opt_state,
-                                   extra_meta={"micro_step": int(state.step)})
+                                   extra_meta={"micro_step": int(state.step),
+                                               "epoch": epoch,
+                                               "epoch_batch": epoch_batch})
         return state
 
     def ckpt_manager_last_saved_step(self) -> int:

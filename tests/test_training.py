@@ -105,6 +105,48 @@ def test_trainer_fit_and_resume(tiny_dataset, tmp_path):
     assert len(steps) <= 2
 
 
+def test_resume_replays_uninterrupted_data_order(tiny_dataset, tmp_path):
+    """Interrupt at step 3, resume, train to 8: the train-item access
+    sequence equals an uninterrupted 8-step run (fit-loop epoch + batch
+    position persist in checkpoint meta; reference counterpart: Lightning
+    loop state, utils/training_utils.py:206-211)."""
+    from some_tpu.parallel.mesh import make_mesh
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from some_tpu.training.trainer import Trainer
+    import jax
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = str(tiny_dataset)
+    mesh = make_mesh(jax.devices()[:1])
+
+    class RecordingTask(MIDIExtractionTask):
+        def __init__(self, cfg, record):
+            super().__init__(cfg)
+            self._record = record
+
+        def load_datasets(self):
+            (tds, tsz), valid = super().load_datasets()
+            record = self._record
+
+            class _Wrap:
+                def __getitem__(self, i):
+                    record.append(int(i))
+                    return tds[i]
+
+            return (_Wrap(), tsz), valid
+
+    seq_a: list = []
+    Trainer(RecordingTask(dict(config), seq_a), tmp_path / "a", mesh=mesh) \
+        .fit(max_steps=8)
+
+    seq_b: list = []
+    Trainer(RecordingTask(dict(config), seq_b), tmp_path / "b", mesh=mesh) \
+        .fit(max_steps=3)
+    Trainer(RecordingTask(dict(config), seq_b), tmp_path / "b", mesh=mesh) \
+        .fit(max_steps=8)
+    assert seq_b == seq_a
+
+
 def test_train_step_loss_decreases(tiny_dataset):
     """Overfit one batch for a few steps; total loss must go down."""
     from some_tpu.parallel.mesh import make_mesh, shard_batch
@@ -269,6 +311,59 @@ def test_binarizer_keyshift_is_seeded(monkeypatch, tmp_path):
     # a different item draws different shifts
     run3 = probe.process_item("item_y", {"wav_fn": "y.wav"}, allow_aug=True)
     assert [float(i["units"][0, 0]) for i in run3[1:]] != shifts1
+
+
+def test_losses_invariant_to_bucket_padding(rng):
+    """With loss_exclude_bucket_padding (default), midi/bound losses computed
+    on a bucket-padded batch equal the values on the same batch padded only
+    to its true max length — i.e. exactly what the torch reference computes
+    (me_task.py:72-111). Legacy mode reproduces the diluted round-1 scale."""
+    from some_tpu.training.me_task import MIDIExtractionTask
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = "/nonexistent"  # datasets not touched
+    task = MIDIExtractionTask(config)
+    task.dp_size = 1
+
+    items = [make_item(rng, n, 5) for n in (37, 52)]
+    t_real = 52
+
+    def build(grid):
+        from some_tpu.data.collate import collate_nd, pad_to_bucket
+        batch = {
+            "units": collate_nd([i["units"] for i in items]),
+            "pitch": collate_nd([i["pitch"] for i in items]),
+            "note_midi": collate_nd([i["note_midi"] for i in items]),
+            "note_rest": collate_nd([i["note_rest"] for i in items]),
+            "note_dur": collate_nd([i["note_dur"] for i in items]),
+            "unit2note": collate_nd([i["unit2note"] for i in items]),
+            "note_mask": collate_nd(
+                [np.ones(len(i["note_midi"]), dtype=bool) for i in items]),
+        }
+        return pad_to_bucket(batch, length_grid=grid, min_batch=1,
+                             length_keys=("units", "pitch", "unit2note"),
+                             note_keys=("note_midi", "note_rest", "note_dur",
+                                        "note_mask"))
+
+    padded = build(64)      # T -> 64, B -> 2
+    minimal = build(1)      # T stays 52
+    assert padded["units"].shape[1] == 64 and minimal["units"].shape[1] == t_real
+
+    K = config["midi_num_bins"]
+    logits_pad = rng.standard_normal((2, 64, K)).astype(np.float32)
+    bounds_pad = rng.random((2, 64)).astype(np.float32)
+    out_pad = (logits_pad, bounds_pad)
+    out_min = (logits_pad[:, :t_real], bounds_pad[:, :t_real])
+
+    l_pad = {k: float(v) for k, v in task.compute_losses(out_pad, padded).items()}
+    l_min = {k: float(v) for k, v in task.compute_losses(out_min, minimal).items()}
+    assert l_pad["midi_loss"] == pytest.approx(l_min["midi_loss"], rel=1e-5)
+    assert l_pad["bound_loss"] == pytest.approx(l_min["bound_loss"], rel=1e-5)
+
+    # legacy mode: padding dilutes (loss systematically lower)
+    task.loss_exclude_bucket_padding = False
+    l_legacy = {k: float(v) for k, v in task.compute_losses(out_pad, padded).items()}
+    assert l_legacy["midi_loss"] < l_pad["midi_loss"]
 
 
 def test_warmup_lr_matches_torch_semantics():
