@@ -49,18 +49,26 @@ def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
                   min_batch: int = 1,
                   length_keys: tuple = ("units", "pitch", "unit2note"),
                   note_keys: tuple = ("note_midi", "note_rest", "note_dur"),
-                  note_pad_values: dict | None = None) -> dict:
+                  note_pad_values: dict | None = None,
+                  common: dict | None = None) -> dict:
     """Pad all tensors in a collated batch up to bucketed static shapes.
 
     Adds 'mask' [B, T] (True on real frames) and 'batch_mask' [B] (True on
     real rows) if not present.
+
+    ``common`` (multi-host): raw cross-rank maxima ``{"t": frames, "b": rows,
+    "n": notes}`` — every rank's batch is padded as if those maxima were its
+    own, so all processes of a global mesh compile/feed identical shapes and
+    't_real' (the loss-normalization length) agrees globally.
     """
     note_pad_values = note_pad_values or {}
     out = dict(batch)
     any_seq = out[length_keys[0]]
     B, T = any_seq.shape[0], any_seq.shape[1]
-    T_pad = bucket_length(T, length_grid)
-    B_pad = bucket_batch_size(max(B, min_batch)) if pad_batch else B
+    T_tgt = max(T, int(common.get("t", T))) if common else T
+    B_tgt = max(B, int(common.get("b", B))) if common else B
+    T_pad = bucket_length(T_tgt, length_grid)
+    B_pad = bucket_batch_size(max(B_tgt, min_batch)) if pad_batch else B_tgt
 
     def pad_arr(arr, target_t, pad_value=0):
         pads = [(0, B_pad - arr.shape[0]), (0, target_t - arr.shape[1])]
@@ -72,6 +80,8 @@ def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
             out[key] = pad_arr(out[key], T_pad)
     if note_keys:
         note_t = max((out[k].shape[1] for k in note_keys if k in out), default=0)
+        if common and note_t:
+            note_t = max(note_t, int(common.get("n", note_t)))
         note_t_pad = bucket_length(note_t, max(length_grid // 4, 1)) if note_t else 0
         for key in note_keys:
             if key in out and out[key] is not None:
@@ -89,7 +99,8 @@ def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
         bm[:B] = True
         out["batch_mask"] = bm
     # pre-bucketing time length (what the torch reference's batch-max-T would
-    # be), shape (1,) so shard_batch replicates it onto the device
-    out["t_real"] = np.full((1,), T, np.int32)
+    # be — the cross-rank max in multi-host mode, so loss normalization
+    # agrees globally), shape (1,) so shard_batch replicates it on-device
+    out["t_real"] = np.full((1,), T_tgt, np.int32)
     out["size"] = B
     return out

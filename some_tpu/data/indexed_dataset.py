@@ -51,6 +51,14 @@ class IndexedDataset:
             for key, value in group.items()
         }
 
+    def attr_length(self, index: int, key: str) -> int:
+        """Leading-axis length of one attribute, from HDF5 shape metadata
+        only (no data read) — used for cross-rank shape agreement in
+        multi-host training."""
+        f = self._ensure_open()
+        ds = f[f"{index}/{key}"]
+        return int(ds.shape[0]) if ds.shape else 0
+
     def close(self):
         if self._file is not None:
             self._file.close()

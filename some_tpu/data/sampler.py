@@ -69,7 +69,11 @@ class BucketBatchSampler:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def form_batches(self) -> List[List[int]]:
+    def form_all_batches(self) -> List[List[List[int]]]:
+        """Every rank's batch list for the current epoch, [num_replicas]
+        outer. Deterministic in (seed, epoch), so all processes of a global
+        mesh can agree on each step's cross-rank shape without communication.
+        """
         rng = np.random.default_rng(self.seed + self.epoch)
         if self.shuffle:
             indices = rng.permutation(len(self.sizes))
@@ -96,24 +100,31 @@ class BucketBatchSampler:
             leftovers = (rng.permutation(len(batches) - floored_total)
                          + floored_total).tolist()
 
-        assignment = rng.permuted(
+        assignment_matrix = rng.permuted(
             np.arange(floored_total).reshape(-1, self.num_replicas).transpose(),
             axis=0,
-        )[self.rank].tolist()
-        floored_count = len(assignment)
-        ceiled_count = floored_count + (1 if leftovers else 0)
-        if self.rank < len(leftovers):
-            assignment.append(leftovers[self.rank])
-        elif leftovers:
-            assignment.append(assignment[self.epoch % floored_count])
-        multiple = self.required_batch_count_multiple
-        if multiple > 1 and ceiled_count % multiple != 0:
-            ceiled_count = math.ceil(ceiled_count / multiple) * multiple
-            for i in range(ceiled_count - len(assignment)):
-                assignment.append(
-                    assignment[(i + self.epoch * multiple) % floored_count])
+        )
 
-        return [list(batches[i]) for i in assignment]
+        per_rank: List[List[List[int]]] = []
+        multiple = self.required_batch_count_multiple
+        for rank in range(self.num_replicas):
+            assignment = assignment_matrix[rank].tolist()
+            floored_count = len(assignment)
+            ceiled_count = floored_count + (1 if leftovers else 0)
+            if rank < len(leftovers):
+                assignment.append(leftovers[rank])
+            elif leftovers:
+                assignment.append(assignment[self.epoch % floored_count])
+            if multiple > 1 and ceiled_count % multiple != 0:
+                ceiled_count = math.ceil(ceiled_count / multiple) * multiple
+                for i in range(ceiled_count - len(assignment)):
+                    assignment.append(
+                        assignment[(i + self.epoch * multiple) % floored_count])
+            per_rank.append([list(batches[i]) for i in assignment])
+        return per_rank
+
+    def form_batches(self) -> List[List[int]]:
+        return self.form_all_batches()[self.rank]
 
     def __iter__(self):
         return iter(self.form_batches())

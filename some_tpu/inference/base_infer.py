@@ -46,7 +46,12 @@ class BaseInference:
         self.timestep = config["hop_size"] / config["audio_sample_rate"]
         self.hop = config["hop_size"]
         self.max_batch_chunks = max_batch_chunks
-        self.dtype = jnp.bfloat16 if dtype is None else dtype
+        if dtype is None:
+            # follow the config's precision (same key training uses);
+            # production default is bf16 on TPU
+            precision = str(config.get("pl_trainer_precision", "bf16"))
+            dtype = jnp.float32 if "32" in precision else jnp.bfloat16
+        self.dtype = dtype
         # Host->device audio rides as int16 by default: exactly reproduces
         # 16-bit-PCM-sourced float waveforms after the on-device /32768
         # (and halves transfer bytes — the interconnect is the bottleneck at

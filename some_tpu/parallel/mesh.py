@@ -36,20 +36,42 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def local_mesh_size(mesh: Mesh) -> int:
+    """Number of this process's devices in the mesh (== mesh size when
+    single-process)."""
+    pid = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == pid)
+
+
+# batch keys that must stay replicated even though they carry a leading axis
+_REPLICATED_KEYS = ("t_real",)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch dict onto the mesh, batch axis sharded.
 
-    Scalars / 0-d entries are replicated. Batch axis must be divisible by the
-    mesh size — the collate layer pads batch rows to a power of two >= mesh
-    size and marks fakes in 'batch_mask'.
+    Scalars / 0-d entries stay on the host. Batch axis must be divisible by
+    the per-process mesh size — the collate layer pads batch rows to a power
+    of two >= that and marks fakes in 'batch_mask'.
+
+    Multi-process: each process passes its LOCAL rows; the returned arrays
+    are global jax.Arrays of shape [B_local * process_count, ...] sharded
+    over the data axis (assembled via make_array_from_process_local_data —
+    no host gather, each shard goes straight to its devices).
     """
     data_sh = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
+    multiprocess = jax.process_count() > 1
+    n_local = local_mesh_size(mesh)
     out = {}
     for key, value in batch.items():
         if np.ndim(value) == 0:
             continue  # host metadata (e.g. 'size') stays off-device
         arr = np.asarray(value)
-        sh = data_sh if arr.shape[0] % mesh.devices.size == 0 else repl
-        out[key] = jax.device_put(arr, sh)
+        replicate = key in _REPLICATED_KEYS or arr.shape[0] % max(n_local, 1) != 0
+        sh = repl if replicate else data_sh
+        if multiprocess:
+            out[key] = jax.make_array_from_process_local_data(sh, arr)
+        else:
+            out[key] = jax.device_put(arr, sh)
     return out

@@ -134,11 +134,13 @@ class BaseTask:
     def place_state(self, state: TrainState) -> TrainState:
         """Commit the state to the mesh with the replicated sharding the
         train step emits — otherwise the first step call compiles a second
-        executable for the uncommitted-input layout."""
+        executable for the uncommitted-input layout. Multi-process: every
+        process holds the same host values (seeded init / shared-FS ckpt)
+        and they assemble into one replicated global array per leaf."""
         if self.mesh is None:
             return state
-        from some_tpu.parallel.mesh import replicated_sharding
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        from some_tpu.parallel.distributed import replicate_to_mesh
+        return replicate_to_mesh(state, self.mesh)
 
     def load_variables(self, variables: dict, state: Optional[TrainState] = None
                        ) -> TrainState:
@@ -168,7 +170,11 @@ class BaseTask:
         if mesh is None:
             mesh = make_mesh()
         self.mesh = mesh
-        self.dp_size = int(mesh.devices.size)
+        # collate pads batch rows to >= the PER-PROCESS device count; the
+        # global batch is B_local * process_count (each process feeds its
+        # addressable shard)
+        from some_tpu.parallel.mesh import local_mesh_size
+        self.dp_size = local_mesh_size(mesh)
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         base_rng = jax.random.PRNGKey(self.config["seed"])
@@ -211,8 +217,10 @@ class BaseTask:
             extras = self.valid_outputs(outputs, batch)
             return losses, extras
 
-        # validation runs rank-0-only batches; keep it simple and replicated
-        self._valid_step = jax.jit(step_fn, in_shardings=(repl, None))
+        # replicated outputs: every process can read losses/extras directly
+        # (multi-host validation logs and plots on process 0)
+        self._valid_step = jax.jit(step_fn, in_shardings=(repl, None),
+                                   out_shardings=(repl, repl))
         return self._valid_step
 
     # ---- datasets (host plane) ----
@@ -226,5 +234,11 @@ class BaseTask:
         valid_sizes = load_lengths(data_dir, valid_prefix)
         return (train, train_sizes), (valid, valid_sizes)
 
-    def collate(self, items: list) -> dict:
+    def collate(self, items: list, common: dict | None = None) -> dict:
+        """items -> padded batch dict. ``common`` carries cross-rank raw
+        shape maxima in multi-host mode (see pad_to_bucket)."""
         raise NotImplementedError
+
+    # leading-axis key used for cross-rank note-shape agreement (tasks with
+    # note arrays override collate to pad them to a common length)
+    note_length_key = "note_midi"

@@ -115,7 +115,7 @@ class QuantizedMIDIExtractionTask(MIDIExtractionTask):
             np.asarray(extras["note_rest"])[0][:n],
         ), step)
 
-    def collate(self, items: list) -> dict:
+    def collate(self, items: list, common: dict | None = None) -> dict:
         batch = {
             "units": collate_nd([i["units"] for i in items]),
             "pitch": collate_nd([i["pitch"] for i in items]),
@@ -132,4 +132,5 @@ class QuantizedMIDIExtractionTask(MIDIExtractionTask):
             length_keys=("units", "pitch", "unit2note"),
             note_keys=("note_midi", "note_dur", "note_mask"),
             note_pad_values={"note_midi": -1},
+            common=common,
         )

@@ -193,7 +193,7 @@ class MIDIExtractionTask(BaseTask):
         ), step)
 
     # ---- host collation ----
-    def collate(self, items: list) -> dict:
+    def collate(self, items: list, common: dict | None = None) -> dict:
         batch = {
             "units": collate_nd([i["units"] for i in items]),
             "pitch": collate_nd([i["pitch"] for i in items]),
@@ -210,4 +210,5 @@ class MIDIExtractionTask(BaseTask):
             min_batch=self.dp_size,
             length_keys=("units", "pitch", "unit2note"),
             note_keys=("note_midi", "note_rest", "note_dur", "note_mask"),
+            common=common,
         )

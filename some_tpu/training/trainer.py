@@ -133,6 +133,35 @@ class Trainer:
             self.log_writer.add_scalar(f"{tag_prefix}/{key}", float(value), step)
 
     # ---- main loop ----
+    def _epoch_batches(self, sampler, epoch: int, train_ds, sizes):
+        """Yield (batch_index_list, common_shape_or_None) for this process.
+
+        Multi-process: the sampler is deterministic in (seed, epoch), so
+        every process recomputes ALL ranks' assignments and derives each
+        step's cross-rank shape maxima locally — shape agreement without any
+        communication. Note lengths come from HDF5 shape metadata only.
+        """
+        sampler.set_epoch(epoch)
+        if jax.process_count() == 1:
+            for batch in sampler:
+                yield batch, None
+            return
+        all_ranks = sampler.form_all_batches()
+        own = all_ranks[jax.process_index()]
+        note_key = getattr(self.task, "note_length_key", None)
+
+        def note_len(i):
+            return train_ds.attr_length(i, note_key) if note_key else 0
+
+        for t, batch in enumerate(own):
+            step_batches = [r[t] for r in all_ranks]
+            common = {
+                "t": max(max(int(sizes[i]) for i in b) for b in step_batches),
+                "b": max(len(b) for b in step_batches),
+                "n": max(max(note_len(i) for i in b) for b in step_batches),
+            }
+            yield batch, common
+
     def fit(self, max_steps: Optional[int] = None):
         config = self.config
         (train_ds, train_sizes), (valid_ds, valid_sizes) = self.task.load_datasets()
@@ -145,11 +174,16 @@ class Trainer:
             required_batch_count_multiple=config.get("accumulate_grad_batches", 1),
             sort_by_similar_size=config.get("sort_by_len", True),
             shuffle=True, seed=config["seed"])
+        # Multi-process validation is data-replicated: every process builds
+        # the same rank-0 batch list from the shared-FS dataset and feeds its
+        # device shard, so the jitted collective step never deadlocks (the
+        # reference instead feeds non-zero ranks dummy batches,
+        # utils/training_utils.py:158-171 — same liveness, wasted compute).
         val_sampler = EvalBatchSampler(
             sizes=valid_sizes,
             max_batch_frames=config.get("max_val_batch_frames", 10000),
             max_batch_size=config.get("max_val_batch_size", 1),
-            rank=jax.process_index())
+            rank=0)
 
         train_step = self.task.make_train_step(self.mesh)
         self.task.make_valid_step(self.mesh)
@@ -181,9 +215,9 @@ class Trainer:
         t_last = time.time()
         try:
             while micro_step < target:
-                sampler.set_epoch(epoch)
                 epoch_batch = 0
-                for batch_idx_list in sampler:
+                for batch_idx_list, common in self._epoch_batches(
+                        sampler, epoch, train_ds, train_sizes):
                     if micro_step >= target:
                         break
                     if skip > 0:
@@ -192,7 +226,7 @@ class Trainer:
                         continue
                     epoch_batch += 1
                     items = [train_ds[i] for i in batch_idx_list]
-                    batch = self.task.collate(items)
+                    batch = self.task.collate(items, common=common)
                     batch = shard_batch(batch, self.mesh)
                     state, logs = train_step(state, batch)
                     micro_step += 1  # host counter: no device sync per step
@@ -225,10 +259,7 @@ class Trainer:
                                 f"{k}={v:.5g}" for k, v in scalars.items()))
                     if micro_step % (self.val_check_interval * k) == 0:
                         self._validate(state, valid_ds, val_sampler)
-                        self.ckpt_manager.save(
-                            step, state.params, state.batch_stats, state.opt_state,
-                            extra_meta={"micro_step": int(state.step),
-                                        "epoch": epoch, "epoch_batch": epoch_batch})
+                        self._save_ckpt(step, state, epoch, epoch_batch)
                 else:
                     # epoch exhausted (no break): advance; a break on
                     # target keeps (epoch, epoch_batch) at the exact
@@ -241,11 +272,7 @@ class Trainer:
             # preemption/interrupt safety: persist the exact current step
             step = int(state.step) // k
             log.warning("interrupted at step %d; saving checkpoint", step)
-            self.ckpt_manager.save(step, state.params, state.batch_stats,
-                                   state.opt_state,
-                                   extra_meta={"micro_step": int(state.step),
-                                               "epoch": epoch,
-                                               "epoch_batch": epoch_batch})
+            self._save_ckpt(step, state, epoch, epoch_batch)
             raise
         finally:
             if progress is not None:
@@ -254,12 +281,20 @@ class Trainer:
         final_step = int(state.step) // k
         if latest_checkpoint(self.work_dir) is None or \
                 final_step > self.ckpt_manager_last_saved_step():
-            self.ckpt_manager.save(final_step, state.params, state.batch_stats,
-                                   state.opt_state,
-                                   extra_meta={"micro_step": int(state.step),
-                                               "epoch": epoch,
-                                               "epoch_batch": epoch_batch})
+            self._save_ckpt(final_step, state, epoch, epoch_batch)
         return state
+
+    def _save_ckpt(self, step: int, state: TrainState, epoch: int,
+                   epoch_batch: int) -> None:
+        """Write a checkpoint (process 0 only on a shared filesystem; state
+        is replicated so process 0 holds every value)."""
+        if jax.process_index() != 0:
+            return
+        self.ckpt_manager.save(step, state.params, state.batch_stats,
+                               state.opt_state,
+                               extra_meta={"micro_step": int(state.step),
+                                           "epoch": epoch,
+                                           "epoch_batch": epoch_batch})
 
     def ckpt_manager_last_saved_step(self) -> int:
         from some_tpu.training.checkpoint import list_checkpoints
@@ -269,11 +304,15 @@ class Trainer:
     # ---- validation ----
     def _validate(self, state: TrainState, valid_ds, val_sampler,
                   limit: Optional[int] = None, sanity: bool = False):
-        if jax.process_index() != 0:
-            return
+        """Runs on EVERY process: the jitted step is a collective program
+        over the global mesh, so all processes must step every batch. The
+        batch is data-replicated construction (identical on all processes,
+        each feeds its row shard); only logging/plots are process-0 work."""
         valid_step = self.task._valid_step
         if valid_step is None:
             valid_step = self.task.make_valid_step(self.mesh)
+        n_proc = jax.process_count()
+        is_rank0 = jax.process_index() == 0
         loss_sums: dict = {}
         weight_sum = 0
         acc_correct = 0
@@ -283,8 +322,22 @@ class Trainer:
             if limit is not None and batch_idx >= limit:
                 break
             items = [valid_ds[i] for i in idx_list]
-            batch = self.task.collate(items)
-            device_batch = shard_batch(batch, self.mesh)
+            if n_proc == 1:
+                batch = self.task.collate(items)
+                local = batch
+            else:
+                # pad rows so the GLOBAL batch splits evenly over processes,
+                # then feed this process's row slice
+                batch = self.task.collate(
+                    items, common={"b": self.mesh.devices.size})
+                b_pad = batch["batch_mask"].shape[0]
+                assert b_pad % n_proc == 0, (b_pad, n_proc)
+                b_loc = b_pad // n_proc
+                lo = jax.process_index() * b_loc
+                local = {k: (v if (np.ndim(v) == 0 or k == "t_real")
+                             else v[lo:lo + b_loc])
+                         for k, v in batch.items()}
+            device_batch = shard_batch(local, self.mesh)
             losses, extras = valid_step(state, device_batch)
             for key, value in losses.items():
                 loss_sums[key] = loss_sums.get(key, 0.0) + float(value) * len(idx_list)
@@ -307,5 +360,6 @@ class Trainer:
                 self._log_scalars("metrics", {"midi_acc": acc_correct / acc_total},
                                   int(state.step))
                 means["midi_acc"] = acc_correct / acc_total
-            log.info("validation @ %d | %s", int(state.step),
-                     " ".join(f"{k}={v:.5g}" for k, v in means.items()))
+            if is_rank0:
+                log.info("validation @ %d | %s", int(state.step),
+                         " ".join(f"{k}={v:.5g}" for k, v in means.items()))

@@ -24,12 +24,20 @@ logging.basicConfig(stream=sys.stdout, level=logging.INFO,
               help="Override max_updates (smoke runs)")
 def train(config, exp_name, work_dir, max_steps):
     from some_tpu.config import dump_config, print_config, read_full_config
+    from some_tpu.parallel.distributed import maybe_initialize
     from some_tpu.registry import build_object
     from some_tpu.training.base_task import BaseTask
     from some_tpu.training.trainer import Trainer
 
+    # join the multi-host runtime first (no-op unless SOME_TPU_COORDINATOR /
+    # SOME_TPU_MULTIHOST=auto is set) — must precede any backend use
+    maybe_initialize()
+    import jax
+    is_rank0 = jax.process_index() == 0
+
     config = read_full_config(pathlib.Path(config))
-    print_config(config)
+    if is_rank0:
+        print_config(config)
     if work_dir is None:
         work_dir = pathlib.Path(__file__).parent / "experiments"
     else:
@@ -38,18 +46,20 @@ def train(config, exp_name, work_dir, max_steps):
     assert not work_dir.exists() or work_dir.is_dir(), \
         f"Path '{work_dir}' is not a directory."
     work_dir.mkdir(parents=True, exist_ok=True)
-    dump_config(config, work_dir / "config.yaml")
+    if is_rank0:
+        dump_config(config, work_dir / "config.yaml")
     config["work_dir"] = str(work_dir)
 
     task = build_object(config["task_cls"], BaseTask, config=config)
 
     log_writer = None
-    try:
-        from tensorboardX import SummaryWriter
-        log_writer = SummaryWriter(
-            logdir=str(work_dir / "lightning_logs" / "lastest"))  # [sic] ref name
-    except ImportError:
-        pass
+    if is_rank0:
+        try:
+            from tensorboardX import SummaryWriter
+            log_writer = SummaryWriter(
+                logdir=str(work_dir / "lightning_logs" / "lastest"))  # [sic] ref name
+        except ImportError:
+            pass
 
     trainer = Trainer(task, work_dir, log_writer=log_writer)
     trainer.fit(max_steps=max_steps)
