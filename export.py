@@ -1,31 +1,55 @@
-"""Export CLI: checkpoint -> serialized StableHLO deployment artifact
-(reference counterpart: export.py:52-106; ONNX becomes StableHLO — see
-some_tpu/deployment/export.py docstring for the shape policy)."""
+"""Export CLI: checkpoint -> deployment artifact.
+
+Two formats (reference counterpart: export.py:52-106):
+  * stablehlo (default) — the TPU-first serving artifact: per-bucket
+    StableHLO programs + manifest (some_tpu/deployment/export.py).
+  * onnx — ecosystem-parity bridge for downstream DiffSinger tools: the
+    reference's opset-17 waveform->notes graph, produced through the
+    first-party torch model (some_tpu/deployment/onnx_export.py).
+"""
 import pathlib
 
 import click
 
 
-@click.command(help="Export a trained model as a StableHLO deployment artifact")
+@click.command(help="Export a trained model as a deployment artifact")
 @click.option("--model", required=True, metavar="CKPT_PATH",
               help="Path to the model checkpoint (*.ckpt)")
-@click.option("--out", required=False, metavar="OUT_DIR",
-              help="Output artifact directory (default: <ckpt>.stablehlo/)")
+@click.option("--out", required=False, metavar="OUT_PATH",
+              help="Output path (default: <ckpt>.stablehlo/ or <ckpt>.onnx)")
+@click.option("--format", "fmt", default="stablehlo",
+              type=click.Choice(["stablehlo", "onnx"]),
+              help="Artifact format")
 @click.option("--buckets", default="256,512,1024,2048,4096",
-              help="Comma-separated frame buckets to export")
+              help="Comma-separated frame buckets to export (stablehlo)")
 @click.option("--platforms", default="tpu,cpu",
-              help="Comma-separated lowering platforms")
-def export(model, out, buckets, platforms):
+              help="Comma-separated lowering platforms (stablehlo)")
+def export(model, out, fmt, buckets, platforms):
     import yaml
 
     from some_tpu.config import print_config
-    from some_tpu.deployment.export import DeploymentExporter
-    from some_tpu.registry import TASK_DEPLOYMENT_MAPPING, resolve_class
 
     model_path = pathlib.Path(model)
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
         config = yaml.safe_load(f)
     print_config(config)
+
+    if fmt == "onnx":
+        from some_tpu.deployment.onnx_export import export_onnx
+        from some_tpu.training.checkpoint import load_any_checkpoint
+
+        ckpt = load_any_checkpoint(model_path)
+        variables = {"params": ckpt["params"]}
+        if ckpt.get("batch_stats"):
+            variables["batch_stats"] = ckpt["batch_stats"]
+        out_path = pathlib.Path(out) if out else model_path.with_suffix(".onnx")
+        export_onnx(config, variables, out_path)
+        print(f"ONNX model saved at: '{out_path}'")
+        return
+
+    from some_tpu.deployment.export import DeploymentExporter
+    from some_tpu.registry import TASK_DEPLOYMENT_MAPPING, resolve_class
+
     exporter_path = TASK_DEPLOYMENT_MAPPING.get(config["task_cls"])
     if exporter_path is None:
         raise KeyError(f"no exporter registered for task {config['task_cls']!r}")
