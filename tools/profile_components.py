@@ -25,15 +25,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import numpy as np
 
 
-def bench_fn(fn, *args, iters=10, warmup=2):
+def _force(out):
+    """Materialize a result on the HOST. The axon backend is lazy:
+    block_until_ready can return without executing anything (measured 0.4 ms
+    'forwards'); fetching bytes of the last result forces the whole serial
+    chain on the single device."""
     import jax
+    leaves = jax.tree_util.tree_leaves(out)
+    return np.asarray(jax.numpy.ravel(leaves[0])[:1])
+
+
+def bench_fn(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 
