@@ -41,6 +41,7 @@ def build_engine(batch_chunks: int = 32):
         lay=int(os.environ.get("SOME_BENCH_LAY", 8)),
         dim=int(os.environ.get("SOME_BENCH_DIM", 512)))
     config["mel_method"] = os.environ.get("SOME_BENCH_MEL", "rfft")
+    config["quantize"] = os.environ.get("SOME_BENCH_QUANT", "none")
     if config["midi_extractor_args"]["dim"] < 128:
         config["midi_extractor_args"]["attention_heads"] = 2
     model = build_midi_extractor(config, dtype=jnp.bfloat16)

@@ -19,7 +19,10 @@ import yaml
               help="Path to the output MIDI file (*.mid)")
 @click.option("--tempo", required=False, type=float, default=120,
               metavar="TEMPO", help="Tempo of the output MIDI")
-def infer(model, wav, midi, tempo):
+@click.option("--quantize", required=False, type=click.Choice(["none", "int8"]),
+              default=None, help="Serving quantization (int8 runs the "
+              "matmul-bound layers on the MXU's 2x int8 path)")
+def infer(model, wav, midi, tempo, quantize):
     from some_tpu.audio.slicer import SilenceSlicer
     from some_tpu.audio.wavio import load_wav
     from some_tpu.config import print_config
@@ -29,6 +32,8 @@ def infer(model, wav, midi, tempo):
     model_path = pathlib.Path(model)
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
         config = yaml.safe_load(f)
+    if quantize is not None:
+        config["quantize"] = quantize
     print_config(config)
     engine = build_inference(config, model_path)
 

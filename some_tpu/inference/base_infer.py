@@ -60,6 +60,15 @@ class BaseInference:
         self.transfer_int16 = str(config.get("transfer_dtype", "int16")) == "int16"
         self.model = self.build_model()
         self.variables = self.load_variables()
+        if (str(config.get("quantize", "none")) == "int8"
+                and "qscales" not in self.variables):
+            # int8 serving: weights quantized once at load (exact f32 math on
+            # host); the model's QDense layers read the parallel qscales
+            # collection (see some_tpu/ops/quant.py)
+            from some_tpu.ops.quant import quantize_params
+            new_params, qscales = quantize_params(self.variables["params"])
+            self.variables = dict(self.variables, params=new_params,
+                                  qscales=qscales)
 
     @classmethod
     def from_variables(cls, config: dict, variables: dict, **kwargs):

@@ -37,33 +37,80 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+class QDense(nn.Module):
+    """Dense with an optional int8 serving path.
+
+    Identical parameter tree to flax ``nn.Dense`` (kernel [in, out] + bias),
+    so checkpoints are unchanged. With ``quant='int8'`` the kernel entry of
+    the supplied variables must already be int8 (see
+    some_tpu.ops.quant.quantize_params) with the per-channel scale in the
+    parallel ``qscales`` collection; activations are quantized dynamically
+    and the matmul runs int8 x int8 -> int32 on the MXU (2x bf16 peak).
+    """
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if self.quant == "int8":
+            from some_tpu.ops.quant import dynamic_int8_dense
+            scale = self.variable(
+                "qscales", "kernel_scale",
+                lambda: jnp.ones((self.features,), jnp.float32))
+            y = dynamic_int8_dense(x, kernel, scale.value, self.dtype)
+        else:
+            # same dtype promotion as flax nn.Dense(dtype=...): inputs and
+            # params cast to dtype before the matmul (bit parity with r1)
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class FeedForward(nn.Module):
     """dim -> 4*dim -> dim with SiLU (reference: Gconform.py:20-34)."""
     dim: int
     latent_drop: float = 0.1
     out_drop: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
+        x = QDense(self.dim * 4, dtype=self.dtype, quant=self.quant,
+                   name="fc1")(x)
         x = nn.silu(x)
         if self.latent_drop > 0:
             x = nn.Dropout(self.latent_drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = QDense(self.dim, dtype=self.dtype, quant=self.quant,
+                   name="fc2")(x)
         if self.out_drop > 0:
             x = nn.Dropout(self.out_drop, deterministic=deterministic)(x)
         return x
 
 
 class _Kernel(nn.Module):
-    """Bare kernel param in its own scope (tree-compatible with nn.Dense)."""
+    """Bare kernel param in its own scope (tree-compatible with nn.Dense).
+
+    With ``quant='int8'`` also exposes the per-output-channel scale variable
+    so the attention block can share one activation quantization across the
+    q and kv projections."""
     shape: tuple
+    quant: str = "none"
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          self.shape, jnp.float32)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        if self.quant == "int8":
+            scale = self.variable(
+                "qscales", "kernel_scale",
+                lambda: jnp.ones((self.shape[-1],), jnp.float32))
+            return kernel, scale.value
+        return kernel, None
 
 
 class SelfAttention(nn.Module):
@@ -77,6 +124,7 @@ class SelfAttention(nn.Module):
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -90,14 +138,35 @@ class SelfAttention(nn.Module):
         # shapes as nn.Dense: attn/{q_proj,kv_proj}/kernel [C, out]) so the
         # torch converter layout is unchanged, while the flash path can fold
         # the head-split transpose into the matmul output layout.
-        q_kernel = _Kernel((C, hidden), name="q_proj")()
-        kv_kernel = _Kernel((C, hidden * 2), name="kv_proj")()
+        q_kernel, q_scale = _Kernel((C, hidden), quant=self.quant,
+                                    name="q_proj")()
+        kv_kernel, kv_scale = _Kernel((C, hidden * 2), quant=self.quant,
+                                      name="kv_proj")()
         scale = self.head_dim ** -0.5
 
         impl = self.attn_impl
         if impl == "auto":
             impl = "flash" if can_use_flash(T, self.head_dim) else "xla"
-        if impl in ("flash", "splash"):
+
+        if self.quant == "int8":
+            # one dynamic activation quantization shared by q and kv
+            from some_tpu.ops.quant import int8_matmul, quantize_activation
+            xq, sx = quantize_activation(x)
+            q = int8_matmul(xq, sx, q_kernel, q_scale, self.dtype)
+            kv = int8_matmul(xq, sx, kv_kernel, kv_scale, self.dtype)
+            q = q.reshape(B, T, self.heads, self.head_dim)
+            k, v = jnp.split(kv, 2, axis=-1)
+            k = k.reshape(B, T, self.heads, self.head_dim)
+            v = v.reshape(B, T, self.heads, self.head_dim)
+            if impl in ("flash", "splash"):
+                out = fused_attention_bhtd(
+                    jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2), mask, scale, impl)
+                out = jnp.swapaxes(out, 1, 2)
+            else:
+                out = _xla_attention(q, k, v, mask, scale)
+            out = out.astype(self.dtype).reshape(B, T, hidden)
+        elif impl in ("flash", "splash"):
             qk = q_kernel.astype(self.dtype).reshape(C, self.heads, self.head_dim)
             kvk = kv_kernel.astype(self.dtype).reshape(
                 C, 2, self.heads, self.head_dim)
@@ -113,7 +182,8 @@ class SelfAttention(nn.Module):
             v = v.reshape(B, T, self.heads, self.head_dim)
             out = _xla_attention(q, k, v, mask, scale)
             out = out.astype(self.dtype).reshape(B, T, hidden)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+        return QDense(self.dim, dtype=self.dtype, quant=self.quant,
+                      name="out_proj")(out)
 
 
 class DepthwiseConv1d(nn.Module):
@@ -189,11 +259,13 @@ class ConvModule(nn.Module):
     kernel_size: int = 31
     drop: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True, use_running_average: bool = True):
-        x = nn.Dense(2 * self.dim, dtype=self.dtype, name="pw1")(x)
+        x = QDense(2 * self.dim, dtype=self.dtype, quant=self.quant,
+                   name="pw1")(x)
         out, gate = jnp.split(x, 2, axis=-1)
         x = out * nn.sigmoid(gate)
         if mask is not None:
@@ -204,7 +276,8 @@ class ConvModule(nn.Module):
         x = MaskedBatchNorm(momentum=0.9, epsilon=1e-5, name="bn")(
             x, mask=mask, use_running_average=use_running_average)
         x = nn.silu(x).astype(self.dtype)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(x)
+        x = QDense(self.dim, dtype=self.dtype, quant=self.quant,
+                   name="pw2")(x)
         if self.drop > 0:
             x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
@@ -222,6 +295,7 @@ class ConformerBlock(nn.Module):
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -231,21 +305,21 @@ class ConformerBlock(nn.Module):
         # precision instead of materializing f32 copies around every norm.
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
-                        dtype=self.dtype, name="ffn1")(
+                        dtype=self.dtype, quant=self.quant, name="ffn1")(
             ln("norm1")(x), deterministic) * 0.5 + x
         att = SelfAttention(self.dim, self.heads, self.head_dim,
                             dtype=self.dtype, attn_impl=self.attn_impl,
-                            name="attn")(
+                            quant=self.quant, name="attn")(
             ln("norm2")(x), mask=mask)
         if self.attention_drop > 0:
             att = nn.Dropout(self.attention_drop, deterministic=deterministic)(att)
         x = att + x
         x = ConvModule(self.dim, self.kernel_size, self.conv_drop,
-                       dtype=self.dtype, name="conv")(
+                       dtype=self.dtype, quant=self.quant, name="conv")(
             ln("norm3")(x), mask=mask,
             deterministic=deterministic, use_running_average=use_running_average) + x
         x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
-                        dtype=self.dtype, name="ffn2")(
+                        dtype=self.dtype, quant=self.quant, name="ffn2")(
             ln("norm4")(x), deterministic) * 0.5 + x
         return ln("norm5")(x)
 
@@ -262,6 +336,7 @@ class DualStreamBlock(nn.Module):
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, midi, bound, mask: Optional[jnp.ndarray] = None,
@@ -273,12 +348,14 @@ class DualStreamBlock(nn.Module):
             ffn_latent_drop=self.ffn_latent_drop, ffn_out_drop=self.ffn_out_drop,
             attention_drop=self.attention_drop, heads=self.heads,
             head_dim=self.head_dim, dtype=self.dtype, attn_impl=self.attn_impl,
+            quant=self.quant,
         )
         midi = ConformerBlock(**block_args, name="midi_block")(midi, **kwargs)
         bound = ConformerBlock(**block_args, name="bound_block")(bound, **kwargs)
 
         def glu_gate(name, x):
-            y = nn.Dense(self.dim * 2, dtype=self.dtype, name=name)(x)
+            y = QDense(self.dim * 2, dtype=self.dtype, quant=self.quant,
+                       name=name)(x)
             out, gate = jnp.split(y, 2, axis=-1)
             return out * nn.sigmoid(gate)
 
@@ -309,6 +386,7 @@ class MidiConformer(nn.Module):
     mask_attention: bool = True
     attn_impl: str = "auto"
     remat: bool = True
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, pitch=None, mask: Optional[jnp.ndarray] = None,
@@ -320,7 +398,7 @@ class MidiConformer(nn.Module):
             ffn_latent_drop=self.ffn_latent_drop, ffn_out_drop=self.ffn_out_drop,
             attention_drop=self.attention_drop, heads=self.attention_heads,
             head_dim=self.attention_heads_dim, dtype=self.dtype,
-            attn_impl=self.attn_impl,
+            attn_impl=self.attn_impl, quant=self.quant,
         )
         kwargs = dict(mask=attn_mask, deterministic=deterministic,
                       use_running_average=use_running_average)

@@ -31,6 +31,7 @@ class MidiExtractor(nn.Module):
     mask_attention: bool = True
     attn_impl: str = "auto"
     remat: bool = True
+    quant: str = "none"
 
     def setup(self):
         self.backbone = MidiConformer(
@@ -41,7 +42,7 @@ class MidiExtractor(nn.Module):
             attention_heads=self.attention_heads,
             attention_heads_dim=self.attention_heads_dim,
             dtype=self.dtype, mask_attention=self.mask_attention,
-            attn_impl=self.attn_impl, remat=self.remat,
+            attn_impl=self.attn_impl, remat=self.remat, quant=self.quant,
         )
 
     def __call__(self, x, f0=None, mask: Optional[jnp.ndarray] = None,
@@ -72,5 +73,6 @@ def build_midi_extractor(config: dict, dtype=jnp.float32,
         indim=config["units_dim"], outdim=config["midi_num_bins"],
         dtype=dtype, mask_attention=mask_attention,
         attn_impl=config.get("attention_impl", "auto"),
-        remat=bool(config.get("use_remat", True)), **args,
+        remat=bool(config.get("use_remat", True)),
+        quant=str(config.get("quantize", "none")), **args,
     )

@@ -45,8 +45,10 @@ def _flash_block_sizes(t: int):
         return t
 
     # env overrides let the block-size sweep (tools/profile_attention.py)
-    # run against the real model without code edits
-    block_q = divisor_block(int(os.environ.get("SOME_FLASH_BQ", 512)))
+    # run against the real model without code edits. Defaults measured on
+    # v5e at T=1024 (BENCH_NOTES.md round 2): bq=1024 beats 512 by ~1.5%;
+    # splash was ~4% slower than this legacy kernel at the same shapes.
+    block_q = divisor_block(int(os.environ.get("SOME_FLASH_BQ", 1024)))
     block_k = divisor_block(int(os.environ.get("SOME_FLASH_BK", 1024)))
     return BlockSizes(
         block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1,
@@ -103,7 +105,11 @@ def _splash_attention_bhtd(q, k, v, mask, scale):
     B, H, T, D = q.shape
     block_q = min(int(os.environ.get("SOME_SPLASH_BQ", 512)), T)
     block_kv = min(int(os.environ.get("SOME_SPLASH_BK", 1024)), T)
-    kernel = _splash_kernel(H, T, block_q, block_kv)
+    # kernel construction precomputes mask-info arrays; build them eagerly
+    # (compile-time) so they do not become tracers of the enclosing jit that
+    # then leak through the lru_cache into later traces
+    with jax.ensure_compile_time_eval():
+        kernel = _splash_kernel(H, T, block_q, block_kv)
     qs = (q * scale).astype(q.dtype)
     if mask is not None:
         ids = mask.astype(jnp.int32)

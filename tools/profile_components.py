@@ -55,6 +55,7 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--only", type=str, default="",
                     help="comma list: mel,forward,decode,pipeline")
+    ap.add_argument("--quant", type=str, default="none")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +72,7 @@ def main():
         return only is None or name in only
 
     config = _flagship_config(lay=args.lay, dim=args.dim)
+    config["quantize"] = args.quant
     model = build_midi_extractor(config, dtype=jnp.bfloat16)
     B, T = args.B, args.T
     hop = config["hop_size"]
@@ -86,6 +88,13 @@ def main():
         jax.random.PRNGKey(0),
         np.zeros((1, 256, config["units_dim"]), np.float32),
         mask=np.ones((1, 256), bool))
+    if args.quant == "int8":
+        from some_tpu.ops.quant import quantize_params
+        new_params, qscales = quantize_params(
+            jax.tree.map(np.asarray, variables["params"]))
+        variables = {"params": new_params, "qscales": qscales,
+                     **{k: v for k, v in variables.items()
+                        if k not in ("params", "qscales")}}
     variables = jax.device_put(variables)
     audio_dev = jax.device_put(audio)
     mask = jax.device_put(mask_np)
