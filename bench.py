@@ -114,6 +114,28 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
         run_once()
         best = min(best, time.perf_counter() - t0)
 
+    # steady-state streaming: host prep (wav decode + slicing) of song N+1
+    # runs in a worker thread while the device transcribes song N — the
+    # production serving pattern (SURVEY §7.3 double-buffered dispatch).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(_):
+        waveform, _sr = load_wav(wav_path, sr=sr, mono=True)
+        slicer = SilenceSlicer(sr=sr, max_sil_kept=1000)
+        return slicer.slice(waveform)
+
+    n_songs = 4
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = [pool.submit(prep, i) for i in range(n_songs)]
+        t0 = time.perf_counter()
+        for i, fut in enumerate(futures):
+            cs = fut.result()
+            segments = engine.infer([c["waveform"] for c in cs])
+            build_midi_file([c["offset"] for c in cs], segments,
+                            tempo=120).save(midi_path)
+        stream_elapsed = time.perf_counter() - t0
+    stream_rtf = n_songs * audio_seconds / stream_elapsed
+
     # device-only time for the same chunk set: re-dispatch each bucket group
     # with device-resident inputs -> the host fraction is what file-to-file
     # adds on top of pure compute
@@ -150,7 +172,7 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
     device_time = time.perf_counter() - t0
 
     host_fraction = max(0.0, 1.0 - device_time / best)
-    return audio_seconds / best, host_fraction
+    return audio_seconds / best, host_fraction, stream_rtf
 
 
 def _watchdog(seconds: float):
@@ -232,9 +254,9 @@ def main() -> None:
     compute_rtf = audio_seconds * iters / (time.perf_counter() - t0)
 
     # honest file-to-file run (wav decode -> slicer -> device -> SMF write)
-    file_rtf, host_fraction = 0.0, 1.0
+    file_rtf, host_fraction, stream_rtf = 0.0, 1.0, 0.0
     if os.environ.get("SOME_BENCH_FILE", "1") == "1":
-        file_rtf, host_fraction = bench_file_to_file(engine, config)
+        file_rtf, host_fraction, stream_rtf = bench_file_to_file(engine, config)
 
     watchdog.cancel()
     args = config["midi_extractor_args"]
@@ -247,6 +269,7 @@ def main() -> None:
         "vs_baseline": round(rtf / BASELINE_RTF, 2),
         "compute_only_rtf": round(compute_rtf, 1),
         "e2e_file_rtf": round(file_rtf, 1),
+        "e2e_file_stream_rtf": round(stream_rtf, 1),
         "file_host_fraction": round(host_fraction, 3),
     }))
 

@@ -92,6 +92,46 @@ class FeedForward(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Kernel+bias params in a named scope, tree-identical to nn.Dense /
+    QDense — lets the fused-FFN path read fc1/fc2 weights without running
+    the unfused modules."""
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.features_in, self.features_out), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features_out,), jnp.float32)
+        return kernel, bias
+
+
+class _FFNParams(nn.Module):
+    """FeedForward's param tree (ffn scope with fc1/fc2 children)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.dim, self.dim * 4, name="fc1")()
+        fc2 = _DenseParams(self.dim * 4, self.dim, name="fc2")()
+        return fc1, fc2
+
+
+class _LNParams(nn.Module):
+    """LayerNorm's param tree (scale/bias), for the fused path."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
 class _Kernel(nn.Module):
     """Bare kernel param in its own scope (tree-compatible with nn.Dense).
 
@@ -296,6 +336,31 @@ class ConformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     quant: str = "none"
+    fuse_ffn: bool = False
+
+    def _macaron_ffn(self, x, ffn_name: str, norm_name: str, deterministic):
+        """x + 0.5 * FFN(LN(x)) — fused Pallas kernel when enabled.
+
+        The fused path declares the SAME param tree (norm scale/bias +
+        ffn fc1/fc2) through bare-param scopes, so checkpoints are shared
+        with the unfused graph. Fusion is inference-only (dropout off;
+        training needs the autodiff-able unfused graph)."""
+        if self.fuse_ffn and deterministic and self.quant == "none":
+            from some_tpu.ops.dispatch import portable
+            from some_tpu.ops.fused_ffn import fused_ln_ffn_residual
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:
+                on_tpu = False
+            (w1, b1), (w2, b2) = _FFNParams(self.dim, name=ffn_name)()
+            g, b = _LNParams(self.dim, name=norm_name)()
+            return fused_ln_ffn_residual(
+                x, g, b, w1, b1, w2, b2, res_scale=0.5,
+                interpret=not (on_tpu and not portable()))
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=norm_name)
+        return FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
+                           dtype=self.dtype, quant=self.quant, name=ffn_name)(
+            ln(x), deterministic) * 0.5 + x
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -304,9 +369,7 @@ class ConformerBlock(nn.Module):
         # upcasts); dtype=self.dtype keeps the normalized tensor in compute
         # precision instead of materializing f32 copies around every norm.
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
-        x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
-                        dtype=self.dtype, quant=self.quant, name="ffn1")(
-            ln("norm1")(x), deterministic) * 0.5 + x
+        x = self._macaron_ffn(x, "ffn1", "norm1", deterministic)
         att = SelfAttention(self.dim, self.heads, self.head_dim,
                             dtype=self.dtype, attn_impl=self.attn_impl,
                             quant=self.quant, name="attn")(
@@ -318,9 +381,7 @@ class ConformerBlock(nn.Module):
                        dtype=self.dtype, quant=self.quant, name="conv")(
             ln("norm3")(x), mask=mask,
             deterministic=deterministic, use_running_average=use_running_average) + x
-        x = FeedForward(self.dim, self.ffn_latent_drop, self.ffn_out_drop,
-                        dtype=self.dtype, quant=self.quant, name="ffn2")(
-            ln("norm4")(x), deterministic) * 0.5 + x
+        x = self._macaron_ffn(x, "ffn2", "norm4", deterministic)
         return ln("norm5")(x)
 
 
@@ -337,6 +398,7 @@ class DualStreamBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     quant: str = "none"
+    fuse_ffn: bool = False
 
     @nn.compact
     def __call__(self, midi, bound, mask: Optional[jnp.ndarray] = None,
@@ -348,7 +410,7 @@ class DualStreamBlock(nn.Module):
             ffn_latent_drop=self.ffn_latent_drop, ffn_out_drop=self.ffn_out_drop,
             attention_drop=self.attention_drop, heads=self.heads,
             head_dim=self.head_dim, dtype=self.dtype, attn_impl=self.attn_impl,
-            quant=self.quant,
+            quant=self.quant, fuse_ffn=self.fuse_ffn,
         )
         midi = ConformerBlock(**block_args, name="midi_block")(midi, **kwargs)
         bound = ConformerBlock(**block_args, name="bound_block")(bound, **kwargs)
@@ -387,6 +449,7 @@ class MidiConformer(nn.Module):
     attn_impl: str = "auto"
     remat: bool = True
     quant: str = "none"
+    fuse_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, pitch=None, mask: Optional[jnp.ndarray] = None,
@@ -399,6 +462,7 @@ class MidiConformer(nn.Module):
             attention_drop=self.attention_drop, heads=self.attention_heads,
             head_dim=self.attention_heads_dim, dtype=self.dtype,
             attn_impl=self.attn_impl, quant=self.quant,
+            fuse_ffn=self.fuse_ffn,
         )
         kwargs = dict(mask=attn_mask, deterministic=deterministic,
                       use_running_average=use_running_average)

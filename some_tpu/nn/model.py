@@ -32,6 +32,7 @@ class MidiExtractor(nn.Module):
     attn_impl: str = "auto"
     remat: bool = True
     quant: str = "none"
+    fuse_ffn: bool = False
 
     def setup(self):
         self.backbone = MidiConformer(
@@ -43,6 +44,7 @@ class MidiExtractor(nn.Module):
             attention_heads_dim=self.attention_heads_dim,
             dtype=self.dtype, mask_attention=self.mask_attention,
             attn_impl=self.attn_impl, remat=self.remat, quant=self.quant,
+            fuse_ffn=self.fuse_ffn,
         )
 
     def __call__(self, x, f0=None, mask: Optional[jnp.ndarray] = None,
@@ -74,5 +76,6 @@ def build_midi_extractor(config: dict, dtype=jnp.float32,
         dtype=dtype, mask_attention=mask_attention,
         attn_impl=config.get("attention_impl", "auto"),
         remat=bool(config.get("use_remat", True)),
-        quant=str(config.get("quantize", "none")), **args,
+        quant=str(config.get("quantize", "none")),
+        fuse_ffn=bool(config.get("fuse_ffn", False)), **args,
     )
