@@ -1,0 +1,89 @@
+"""Training-throughput benchmark on the real chip (force-fetched).
+
+Times the FULL jitted train step (device-side gaussian targets, BCE+EMD
+losses, AdamW, grad clip, masked BatchNorm, rematerialized dual-stream
+layers) for the flagship 8x512 bf16 model at the reference's batch budget.
+Round-1 reported 1.75 s/step at B=32 x T=2048 via block_until_ready; the
+axon backend is lazy (CLAUDE.md), so this re-measures with a scalar fetch
+forcing every step. The train state is a donated dependency chain, so
+fetching the final loss forces the whole sequence.
+
+Usage: timeout 3600 python tools/bench_train.py [--B 32 --T 2048 --steps 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=32)
+    ap.add_argument("--T", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--lay", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from some_tpu.parallel.mesh import make_mesh, shard_batch
+    from some_tpu.training.me_task import MIDIExtractionTask
+
+    config = _flagship_config(lay=args.lay, dim=args.dim)
+    task = MIDIExtractionTask(config)
+    mesh = make_mesh(jax.devices()[:1])
+    train_step = task.make_train_step(mesh)
+
+    B, T, N = args.B, args.T, 64
+    rng = np.random.default_rng(0)
+    batch = {
+        "units": rng.standard_normal((B, T, config["units_dim"])).astype(np.float32),
+        "pitch": np.zeros((B, T), np.float32),
+        "note_midi": rng.uniform(50, 70, (B, N)).astype(np.float32),
+        "note_rest": np.zeros((B, N), bool),
+        "note_dur": np.full((B, N), T // N, np.int64),
+        "note_mask": np.ones((B, N), bool),
+        "unit2note": np.repeat(np.arange(1, N + 1), T // N)[None].repeat(B, 0),
+        "mask": np.ones((B, T), bool),
+        "batch_mask": np.ones((B,), bool),
+        "t_real": np.full((1,), T, np.int32),
+    }
+    state = task.init_state(example_batch=batch)
+    state = task.place_state(state)
+    device_batch = shard_batch(batch, mesh)
+
+    state, logs = train_step(state, device_batch)  # compile + warm
+    _ = float(logs["total_loss"])                  # force
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, logs = train_step(state, device_batch)
+    _ = float(logs["total_loss"])                  # forces the whole chain
+    per_step = (time.perf_counter() - t0) / args.steps
+
+    frames = B * T
+    sr_frames = 44100 / config["hop_size"]
+    print(json.dumps({
+        "per_step_s": round(per_step, 3),
+        "frames_per_step": frames,
+        "frames_per_s": round(frames / per_step),
+        "train_rtf": round(frames / per_step / sr_frames, 1),
+        "loss": round(float(logs["total_loss"]), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
