@@ -134,8 +134,16 @@ def run_cli(ckpt_dir: pathlib.Path, config: dict, wav_path, midi_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("precision,n_songs", [("32-true", 3), ("bf16", 1)])
-def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs):
+@pytest.mark.parametrize("precision,n_songs,quantize,min_f1", [
+    ("32-true", 3, "none", 1.0),
+    ("bf16", 1, "none", 1.0),
+    # int8 serving: per-matmul quantization noise (~1%) across 8 residual
+    # layers may legally shift knife-edge cumsum-round boundaries; the note
+    # stream must still match the f32 torch oracle at high F1
+    ("32-true", 1, "int8", 0.95),
+])
+def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs,
+                                quantize, min_f1):
     from some_tpu.audio.slicer import SilenceSlicer
     from some_tpu.audio.wavio import save_wav
     from tools.compare_midi import midi_notes_to_arrays
@@ -143,6 +151,7 @@ def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs):
 
     model, ckpt_dir = oracle_and_ckpt
     config = prod_config(precision)
+    config["quantize"] = quantize
     slicer = SilenceSlicer(sr=SR, max_sil_kept=1000)
 
     for song_i in range(n_songs):
@@ -150,7 +159,7 @@ def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs):
         wav_path = tmp_path / f"song{song_i}.wav"
         save_wav(wav_path, wave, SR)
 
-        midi_pred = tmp_path / f"pred_{precision}_{song_i}.mid"
+        midi_pred = tmp_path / f"pred_{precision}_{quantize}_{song_i}.mid"
         run_cli(ckpt_dir, config, wav_path, midi_pred)
 
         # torch reference pipeline on the SAME decoded wav + chunking
@@ -168,7 +177,7 @@ def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs):
         assert len(ref_notes) > 0, "oracle produced no notes"
         result = note_f1(ref_arrays, pred_arrays, onset_tolerance=0.05,
                          pitch_tolerance=0.5)
-        assert result.f1 == 1.0, (
-            f"{precision} song {song_i}: F1={result.f1:.4f} "
+        assert result.f1 >= min_f1, (
+            f"{precision}/{quantize} song {song_i}: F1={result.f1:.4f} "
             f"({result.n_match}/{result.n_ref}), "
             f"exact={ref_notes == pred_notes}")
