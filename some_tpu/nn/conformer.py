@@ -448,6 +448,7 @@ class MidiConformer(nn.Module):
     mask_attention: bool = True
     attn_impl: str = "auto"
     remat: bool = True
+    remat_policy: str = "nothing"
     quant: str = "none"
     fuse_ffn: bool = False
 
@@ -478,7 +479,20 @@ class MidiConformer(nn.Module):
         # recompute for O(layers) -> O(1) activation memory per layer).
         block_cls = DualStreamBlock
         if self.remat:
-            block_cls = nn.remat(DualStreamBlock, static_argnums=(4, 5))
+            # remat_policy trades backward-pass recompute against HBM:
+            #   nothing  — recompute the whole layer (min memory, ~1/3 extra
+            #              fwd FLOPs; fits the reference 80k-frame budget)
+            #   dots     — save matmul outputs, recompute elementwise only
+            #              (jax.checkpoint_policies.checkpoint_dots)
+            #   dots_no_batch — save only non-batch matmuls (weights-side)
+            policy = {
+                "nothing": None,
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch":
+                    jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            }[self.remat_policy]
+            block_cls = nn.remat(DualStreamBlock, static_argnums=(4, 5),
+                                 policy=policy)
         for i in range(self.lay):
             midi, bound = block_cls(**block_args, name=f"layer_{i}")(
                 midi, bound, mask, kwargs["deterministic"],

@@ -31,6 +31,7 @@ class MidiExtractor(nn.Module):
     mask_attention: bool = True
     attn_impl: str = "auto"
     remat: bool = True
+    remat_policy: str = "nothing"
     quant: str = "none"
     fuse_ffn: bool = False
 
@@ -43,7 +44,8 @@ class MidiExtractor(nn.Module):
             attention_heads=self.attention_heads,
             attention_heads_dim=self.attention_heads_dim,
             dtype=self.dtype, mask_attention=self.mask_attention,
-            attn_impl=self.attn_impl, remat=self.remat, quant=self.quant,
+            attn_impl=self.attn_impl, remat=self.remat,
+            remat_policy=self.remat_policy, quant=self.quant,
             fuse_ffn=self.fuse_ffn,
         )
 
@@ -76,6 +78,7 @@ def build_midi_extractor(config: dict, dtype=jnp.float32,
         dtype=dtype, mask_attention=mask_attention,
         attn_impl=config.get("attention_impl", "auto"),
         remat=bool(config.get("use_remat", True)),
+        remat_policy=str(config.get("remat_policy", "nothing")),
         quant=str(config.get("quantize", "none")),
         fuse_ffn=bool(config.get("fuse_ffn", False)), **args,
     )

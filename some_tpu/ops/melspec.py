@@ -54,8 +54,18 @@ class LogMelSpec:
 
         if method == "dft":
             n_bins = self.n_fft // 2 + 1
+            basis_np = np.asarray(self.basis)
+            # exact truncation: only spectrum bins with nonzero mel weight
+            # contribute to the output (fmin..fmax covers ~1/3 of the bins at
+            # the production config), so the DFT matmuls shrink ~3x with
+            # bit-identical mel output
+            used = np.nonzero(basis_np.any(axis=0))[0]
+            k_lo, k_hi = (int(used[0]), int(used[-1]) + 1) if len(used) \
+                else (0, n_bins)
+            self._k_lo, self._k_hi = k_lo, k_hi
+            self.basis_dft = jnp.asarray(basis_np[:, k_lo:k_hi])
             n = np.arange(self.n_fft)[:, None]
-            k = np.arange(n_bins)[None, :]
+            k = np.arange(k_lo, k_hi)[None, :]
             angle = 2.0 * np.pi * n * k / self.n_fft
             # window folded in: frames @ Wc == rfft(frames * window).real
             self.dft_cos = jnp.asarray((np.cos(angle) * window[:, None]).astype(np.float32))
@@ -102,10 +112,12 @@ class LogMelSpec:
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
             magnitude = jnp.sqrt(re * re + im * im)
+            basis = self.basis_dft
         else:
             spec = jnp.fft.rfft(frames * self.window, axis=-1)
             magnitude = jnp.abs(spec)
-        mel = jnp.einsum("bfk,mk->bfm", magnitude, self.basis,
+            basis = self.basis
+        mel = jnp.einsum("bfk,mk->bfm", magnitude, basis,
                          preferred_element_type=jnp.float32)
         out = jnp.log(jnp.maximum(mel, self.clamp)).astype(self.dtype)
         return out[0] if squeeze else out

@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--lay", type=int, default=8)
     ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--remat-policy", type=str, default="nothing")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +44,7 @@ def main():
     from some_tpu.training.me_task import MIDIExtractionTask
 
     config = _flagship_config(lay=args.lay, dim=args.dim)
+    config["remat_policy"] = args.remat_policy
     task = MIDIExtractionTask(config)
     mesh = make_mesh(jax.devices()[:1])
     train_step = task.make_train_step(mesh)
@@ -82,6 +84,7 @@ def main():
         "frames_per_s": round(frames / per_step),
         "train_rtf": round(frames / per_step / sr_frames, 1),
         "loss": round(float(logs["total_loss"]), 4),
+        "remat_policy": args.remat_policy,
     }))
 
 
