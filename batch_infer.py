@@ -165,7 +165,9 @@ def label_row(row: dict, notes: List[dict], round_midi: bool) -> None:
 @click.option("--csv", required=False, metavar="CSV_PATH",
               help="Output transcriptions.csv (default: in the dataset)")
 @click.option("--overwrite", is_flag=True, help="Overwrite an existing output csv")
-def batch_infer(dataset, model, round_midi, csv, overwrite):
+@click.option("--devices", required=False, type=int, default=1,
+              help="Data-parallel serving over N local devices")
+def batch_infer(dataset, model, round_midi, csv, overwrite, devices):
     import tqdm
     import yaml
 
@@ -181,7 +183,13 @@ def batch_infer(dataset, model, round_midi, csv, overwrite):
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
         config = yaml.safe_load(f)
     print_config(config)
-    engine = build_inference(config, model_path)
+    kwargs = {}
+    if devices > 1:
+        import jax
+
+        from some_tpu.parallel.mesh import make_mesh
+        kwargs["mesh"] = make_mesh(jax.devices()[:devices])
+    engine = build_inference(config, model_path, **kwargs)
 
     with open(data_path / "transcriptions.csv", "r", encoding="utf8", newline="") as f:
         rows = list(DictReader(f))

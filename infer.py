@@ -22,7 +22,10 @@ import yaml
 @click.option("--quantize", required=False, type=click.Choice(["none", "int8"]),
               default=None, help="Serving quantization (int8 runs the "
               "matmul-bound layers on the MXU's 2x int8 path)")
-def infer(model, wav, midi, tempo, quantize):
+@click.option("--devices", required=False, type=int, default=1,
+              help="Data-parallel serving over N local devices (bucket "
+              "batches shard over a mesh; 1 = single device)")
+def infer(model, wav, midi, tempo, quantize, devices):
     from some_tpu.audio.slicer import SilenceSlicer
     from some_tpu.audio.wavio import load_wav
     from some_tpu.config import print_config
@@ -35,7 +38,13 @@ def infer(model, wav, midi, tempo, quantize):
     if quantize is not None:
         config["quantize"] = quantize
     print_config(config)
-    engine = build_inference(config, model_path)
+    kwargs = {}
+    if devices > 1:
+        import jax
+
+        from some_tpu.parallel.mesh import make_mesh
+        kwargs["mesh"] = make_mesh(jax.devices()[:devices])
+    engine = build_inference(config, model_path, **kwargs)
 
     wav_path = pathlib.Path(wav)
     waveform, _ = load_wav(wav_path, sr=config["audio_sample_rate"], mono=True)

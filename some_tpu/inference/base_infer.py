@@ -38,10 +38,15 @@ def pick_bucket(n_frames: int, buckets=DEFAULT_BUCKETS) -> int:
 
 class BaseInference:
     def __init__(self, config: dict, model_path: pathlib.Path | str,
-                 dtype=None, max_batch_chunks: int = 8):
+                 dtype=None, max_batch_chunks: int = 8, mesh=None):
         import jax.numpy as jnp
 
         self.config = config
+        # Optional data-parallel serving mesh: bucket batches shard over the
+        # 'data' axis (rows padded to a multiple of the mesh size), weights
+        # replicate, and GSPMD splits the one jitted pipeline across chips —
+        # multi-accelerator inference the torch reference has no analog of.
+        self.mesh = mesh
         self.model_path = pathlib.Path(model_path)
         self.timestep = config["hop_size"] / config["audio_sample_rate"]
         self.hop = config["hop_size"]

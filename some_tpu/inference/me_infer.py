@@ -37,7 +37,11 @@ class MIDIExtractionInference(BaseInference):
         # Variables are an explicit jit argument (placed on device once) —
         # closing over them would bake ~0.5 GB of weights into the program
         # as constants, bloating the executable and breaking remote compile.
-        self._device_variables = jax.device_put(self.variables)
+        if self.mesh is not None:
+            from some_tpu.parallel.distributed import replicate_to_mesh
+            self._device_variables = replicate_to_mesh(self.variables, self.mesh)
+        else:
+            self._device_variables = jax.device_put(self.variables)
         self._pipeline = jax.jit(self._device_pipeline)
 
     def _forward(self, variables, units, mask):
@@ -74,8 +78,23 @@ class MIDIExtractionInference(BaseInference):
         # the 10s-of-MB audio through a slow synchronous arg-serialization
         # path (measured ~20x slower than device_put on the TPU tunnel) and
         # blocks dispatch; device_put overlaps the copy with prior compute.
-        audio = jax.device_put(audio)
-        frame_mask = jax.device_put(frame_mask)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.devices.size
+            pad = (-len(audio)) % n_dev
+            if pad:  # all-False mask rows decode to zero notes and are
+                # never read back (infer() indexes only real rows)
+                audio = np.concatenate([audio, np.zeros(
+                    (pad, audio.shape[1]), audio.dtype)])
+                frame_mask = np.concatenate([frame_mask, np.zeros(
+                    (pad, frame_mask.shape[1]), bool)])
+            shard = NamedSharding(self.mesh, P("data"))
+            audio = jax.device_put(audio, shard)
+            frame_mask = jax.device_put(frame_mask, shard)
+        else:
+            audio = jax.device_put(audio)
+            frame_mask = jax.device_put(frame_mask)
         return self._pipeline(self._device_variables, audio, frame_mask)
 
     def assemble(self, device_out: dict, n_frames: int) -> Dict[str, np.ndarray]:
