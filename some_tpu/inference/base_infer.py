@@ -27,6 +27,13 @@ from some_tpu.training.checkpoint import load_any_checkpoint
 DEFAULT_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
                    6144, 8192, 12288, 16384, 24576, 32768)
 
+# Batch-row buckets (same idea along the batch axis): every (rows, frames)
+# pair is a separate XLA program, so free-form group sizes would compile up
+# to max_batch_chunks programs per frame bucket; padding rows (all-masked,
+# decode to zero notes) bounds that at ~7 while wasting <=33% rows only on
+# the final group of a song.
+DEFAULT_BATCH_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+
 
 def pick_bucket(n_frames: int, buckets=DEFAULT_BUCKETS) -> int:
     for b in buckets:
@@ -34,6 +41,16 @@ def pick_bucket(n_frames: int, buckets=DEFAULT_BUCKETS) -> int:
             return b
     raise ValueError(f"chunk of {n_frames} frames exceeds the largest bucket "
                      f"{buckets[-1]}; slice the audio first")
+
+
+def pick_batch_bucket(n_rows: int, cap: int,
+                      buckets=DEFAULT_BATCH_BUCKETS) -> int:
+    for b in buckets:
+        if b >= cap:
+            return cap
+        if n_rows <= b:
+            return b
+    return max(n_rows, cap)
 
 
 class BaseInference:
@@ -148,8 +165,9 @@ class BaseInference:
                 # frames (n//hop + 1) — no chunk truncation at bucket edges
                 n_samples = bucket * self.hop - 1
                 wire_dtype = np.int16 if self.transfer_int16 else np.float32
-                audio = np.zeros((len(group), n_samples), dtype=wire_dtype)
-                mask = np.zeros((len(group), bucket), dtype=bool)
+                rows = pick_batch_bucket(len(group), self.max_batch_chunks)
+                audio = np.zeros((rows, n_samples), dtype=wire_dtype)
+                mask = np.zeros((rows, bucket), dtype=bool)
                 for row, job in enumerate(group):
                     wave = job["wave"][:n_samples]
                     if self.transfer_int16:

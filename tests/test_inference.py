@@ -259,3 +259,26 @@ class TestWireFormat:
         np.testing.assert_array_equal(out_i16["note_midi"], out_f32["note_midi"])
         np.testing.assert_array_equal(out_i16["note_dur"], out_f32["note_dur"])
         np.testing.assert_array_equal(out_i16["note_rest"], out_f32["note_rest"])
+
+
+class TestBatchBuckets:
+    def test_pick_batch_bucket(self):
+        from some_tpu.inference.base_infer import pick_batch_bucket
+        assert pick_batch_bucket(1, 32) == 1
+        assert pick_batch_bucket(5, 32) == 6
+        assert pick_batch_bucket(7, 32) == 8
+        assert pick_batch_bucket(17, 32) == 24
+        assert pick_batch_bucket(25, 32) == 32
+        assert pick_batch_bucket(3, 2) == 2   # capped by max_batch_chunks
+        assert pick_batch_bucket(40, 64) == 48
+
+    def test_row_bucketing_bounds_compiles(self, engine):
+        """Distinct group sizes reuse row-bucketed programs: 5 different
+        chunk counts -> at most 4 compiled (rows, frames) programs."""
+        before = engine._pipeline._cache_size()
+        for n in (1, 2, 3, 5, 6):
+            wavs = [synth(0.9, 300 + 10 * i, seed=i) for i in range(n)]
+            outs = engine.infer(wavs)
+            assert len(outs) == n
+        grown = engine._pipeline._cache_size() - before
+        assert grown <= 4, grown  # rows buckets hit: 1, 2, 3, 6
