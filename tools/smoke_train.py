@@ -78,9 +78,12 @@ def main():
     parser.add_argument("--dim", type=int, default=64)
     parser.add_argument("--lay", type=int, default=2)
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--task", choices=["continuous", "quant"],
+                        default="continuous")
     args = parser.parse_args()
 
-    base = pathlib.Path(args.workdir or tempfile.mkdtemp(prefix="smoke_train_"))
+    base = pathlib.Path(args.workdir
+                        or tempfile.mkdtemp(prefix=f"smoke_train_{args.task}_"))
     raw, binary, work = base / "raw", base / "binary", base / "work"
     rng = np.random.default_rng(2026)
     print(f"| workspace: {base}")
@@ -98,7 +101,8 @@ def main():
         "pe": "yin", "pe_ckpt": None,
         "key_shift_factor": 1, "key_shift_range": [-5, 5],
         "test_prefixes": ["song0"], "seed": 114514,
-        "midi_min": 0, "midi_max": 127, "midi_num_bins": 128,
+        "midi_min": 0, "midi_max": 127,
+        "midi_num_bins": 129 if args.task == "quant" else 128,
         "midi_prob_deviation": 1.0, "rest_threshold": 0.1,
         "use_midi_loss": True, "use_bound_loss": True,
         "optimizer_args": {"optimizer_cls": "torch.optim.AdamW", "lr": 5e-4,
@@ -121,16 +125,27 @@ def main():
             "attention_heads_dim": 32},
     }
 
-    from some_tpu.preprocessing.me_binarizer import MIDIExtractionBinarizer
+    if args.task == "quant":
+        config["binarization_args"]["round_midi"] = True
+        from some_tpu.preprocessing.me_quant_binarizer import (
+            QuantizedMIDIExtractionBinarizer as Binarizer,
+        )
+        from some_tpu.training.me_quant_task import (
+            QuantizedMIDIExtractionTask as Task,
+        )
+    else:
+        from some_tpu.preprocessing.me_binarizer import (
+            MIDIExtractionBinarizer as Binarizer,
+        )
+        from some_tpu.training.me_task import MIDIExtractionTask as Task
     if not (binary / "train.data").exists():
-        MIDIExtractionBinarizer(dict(config)).process()
+        Binarizer(dict(config)).process()
 
     import jax
     from some_tpu.parallel.mesh import make_mesh, shard_batch
-    from some_tpu.training.me_task import MIDIExtractionTask
     from some_tpu.training.trainer import Trainer
 
-    task = MIDIExtractionTask(dict(config))
+    task = Task(dict(config))
     trainer = Trainer(task, work, mesh=make_mesh(jax.devices()[:1]))
     state = trainer.fit(max_steps=args.steps)
 

@@ -15,6 +15,7 @@ from typing import Dict, Tuple
 import click
 
 _work_dir: pathlib.Path = None
+_devices: int = 1
 _engines: Dict[str, Tuple[object, dict]] = {}
 MAX_DURATION_SEC = 20 * 60  # reference cap (webui.py:43-44)
 
@@ -28,7 +29,14 @@ def _get_engine(model_rel_path: str):
         model_path = _work_dir / model_rel_path
         with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
             config = yaml.safe_load(f)
-        _engines[model_rel_path] = (build_inference(config, model_path), config)
+        kwargs = {}
+        if _devices > 1:
+            import jax
+
+            from some_tpu.parallel.mesh import make_mesh
+            kwargs["mesh"] = make_mesh(jax.devices()[:_devices])
+        _engines[model_rel_path] = (
+            build_inference(config, model_path, **kwargs), config)
     return _engines[model_rel_path]
 
 
@@ -154,8 +162,11 @@ def _launch_stdlib(choices, port, addr):
 @click.option("--addr", type=str, required=False, help="Server address")
 @click.option("--work_dir", type=str, required=False,
               help="Directory to read the experiments")
-def webui(port, work_dir, addr):
-    global _work_dir
+@click.option("--devices", type=int, default=1,
+              help="Data-parallel serving over N local devices")
+def webui(port, work_dir, addr, devices):
+    global _work_dir, _devices
+    _devices = devices
     if work_dir is None:
         work_dir = pathlib.Path(__file__).with_name("experiments")
     else:
