@@ -1,0 +1,71 @@
+"""AOT-compile the serving programs for every (rows, frames) bucket.
+
+Production deploys compile ahead of traffic: this walks the frame buckets x
+batch-row buckets an engine can hit and populates the persistent XLA compile
+cache (JAX_COMPILATION_CACHE_DIR) using abstract ShapeDtypeStructs — no
+audio, no device transfers beyond the weights. After this, a fresh serving
+process hits only cache loads (seconds) instead of cold compiles (minutes
+through a remote compiler).
+
+Usage:
+  python tools/warm_cache.py --model ckpt [--buckets 512,768,1024]
+                             [--rows 1,2,3,4,6,8,12,16,24,32]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True, help="checkpoint path")
+    ap.add_argument("--buckets", default="256,384,512,768,1024,1536,2048")
+    ap.add_argument("--rows", default="1,2,3,4,6,8,12,16,24,32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from some_tpu.inference.base_infer import build_inference
+
+    model_path = pathlib.Path(args.model)
+    with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
+        config = yaml.safe_load(f)
+    engine = build_inference(config, model_path)
+    wire = jnp.int16 if engine.transfer_int16 else jnp.float32
+
+    buckets = [int(b) for b in args.buckets.split(",")]
+    rows = [int(r) for r in args.rows.split(",")
+            if int(r) <= engine.max_batch_chunks] or [engine.max_batch_chunks]
+    var_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        engine._device_variables)
+    total = 0
+    for bucket in buckets:
+        for r in rows:
+            n_samples = bucket * engine.hop - 1
+            t0 = time.perf_counter()
+            engine._pipeline.lower(
+                var_shapes,
+                jax.ShapeDtypeStruct((r, n_samples), wire),
+                jax.ShapeDtypeStruct((r, bucket), jnp.bool_),
+            ).compile()
+            total += 1
+            print(f"| compiled rows={r} frames={bucket} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+    print(f"| warmed {total} programs into "
+          f"{os.environ['JAX_COMPILATION_CACHE_DIR']}")
+
+
+if __name__ == "__main__":
+    main()
