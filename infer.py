@@ -20,8 +20,9 @@ import yaml
 @click.option("--tempo", required=False, type=float, default=120,
               metavar="TEMPO", help="Tempo of the output MIDI")
 @click.option("--quantize", required=False, type=click.Choice(["none", "int8"]),
-              default=None, help="Serving quantization (int8 runs the "
-              "matmul-bound layers on the MXU's 2x int8 path)")
+              default=None, help="Serving quantization: int8 halves resident "
+              "weight bytes (~0.4%% matmul noise); measured speed-neutral on "
+              "this chip — see BENCH_NOTES.md")
 @click.option("--devices", required=False, type=int, default=1,
               help="Data-parallel serving over N local devices (bucket "
               "batches shard over a mesh; 1 = single device)")

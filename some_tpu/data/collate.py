@@ -59,7 +59,10 @@ def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
     ``common`` (multi-host): raw cross-rank maxima ``{"t": frames, "b": rows,
     "n": notes}`` — every rank's batch is padded as if those maxima were its
     own, so all processes of a global mesh compile/feed identical shapes and
-    't_real' (the loss-normalization length) agrees globally.
+    't_real' (the loss-normalization length) agrees globally. An optional
+    ``b_multiple`` forces the padded row count to a multiple (e.g. the
+    process count x local device count, so a replicated validation batch
+    splits evenly over any process count — including non-powers-of-two).
     """
     note_pad_values = note_pad_values or {}
     out = dict(batch)
@@ -69,6 +72,8 @@ def pad_to_bucket(batch: dict, length_grid: int = 128, pad_batch: bool = True,
     B_tgt = max(B, int(common.get("b", B))) if common else B
     T_pad = bucket_length(T_tgt, length_grid)
     B_pad = bucket_batch_size(max(B_tgt, min_batch)) if pad_batch else B_tgt
+    if common and int(common.get("b_multiple", 1)) > 1:
+        B_pad = round_up(B_pad, int(common["b_multiple"]))
 
     def pad_arr(arr, target_t, pad_value=0):
         pads = [(0, B_pad - arr.shape[0]), (0, target_t - arr.shape[1])]

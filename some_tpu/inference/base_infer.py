@@ -50,7 +50,18 @@ def pick_batch_bucket(n_rows: int, cap: int,
             return cap
         if n_rows <= b:
             return b
-    return max(n_rows, cap)
+    # beyond the table (cap > buckets[-1]): keep growing geometrically so a
+    # 65-row group pads to 96, not all the way to cap
+    b = buckets[-1]
+    while b < n_rows:
+        b = min(cap, b * 3 // 2)
+    return b
+
+
+def _has_int8_kernels(params) -> bool:
+    """True when the param tree was already run through quantize_params."""
+    return any(np.dtype(getattr(leaf, "dtype", np.float32)) == np.int8
+               for leaf in jax.tree_util.tree_leaves(params))
 
 
 class BaseInference:
@@ -82,11 +93,14 @@ class BaseInference:
         self.transfer_int16 = str(config.get("transfer_dtype", "int16")) == "int16"
         self.model = self.build_model()
         self.variables = self.load_variables()
-        if (str(config.get("quantize", "none")) == "int8"
-                and "qscales" not in self.variables):
+        if str(config.get("quantize", "none")) == "int8" \
+                and not _has_int8_kernels(self.variables["params"]):
             # int8 serving: weights quantized once at load (exact f32 math on
             # host); the model's QDense layers read the parallel qscales
-            # collection (see some_tpu/ops/quant.py)
+            # collection (see some_tpu/ops/quant.py). The guard checks kernel
+            # DTYPES, not qscales presence: variables fresh from model.init
+            # carry a dummy all-ones qscales collection and still need the
+            # real quantization pass.
             from some_tpu.ops.quant import quantize_params
             new_params, qscales = quantize_params(self.variables["params"])
             self.variables = dict(self.variables, params=new_params,

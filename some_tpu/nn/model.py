@@ -64,21 +64,30 @@ class MidiExtractor(nn.Module):
 
 
 def build_midi_extractor(config: dict, dtype=jnp.float32,
-                         mask_attention: bool = True) -> MidiExtractor:
+                         mask_attention: bool = True,
+                         quantize: str | None = None) -> MidiExtractor:
     """Construct the flagship model from a SOME config dict.
 
     Pulls ``midi_extractor_args`` plus ``units_dim``/``midi_num_bins``
     (reference: modules/model/Gmidi_conform.py:26-28).
+
+    ``quantize`` overrides the config's ``quantize`` key. Int8 is a
+    SERVING-ONLY path (the activation round() has zero gradient — no
+    straight-through estimator), so training tasks pass ``quantize="none"``
+    explicitly and never build a quantized graph even if the work-dir config
+    carries the serving key.
     """
     args = dict(config["midi_extractor_args"])
     args.pop("indim", None)
     args.pop("outdim", None)
+    if quantize is None:
+        quantize = str(config.get("quantize", "none"))
     return MidiExtractor(
         indim=config["units_dim"], outdim=config["midi_num_bins"],
         dtype=dtype, mask_attention=mask_attention,
         attn_impl=config.get("attention_impl", "auto"),
         remat=bool(config.get("use_remat", True)),
         remat_policy=str(config.get("remat_policy", "nothing")),
-        quant=str(config.get("quantize", "none")),
+        quant=quantize,
         fuse_ffn=bool(config.get("fuse_ffn", False)), **args,
     )

@@ -76,7 +76,11 @@ class MIDIExtractionTask(BaseTask):
         return t_real.astype(jnp.float32), frame_w
 
     def build_model(self):
-        return build_midi_extractor(self.config, dtype=self.compute_dtype)
+        # quantize="none": int8 is serving-only (zero-gradient round());
+        # a work-dir config carrying the serving key must not degrade a
+        # resumed training run
+        return build_midi_extractor(self.config, dtype=self.compute_dtype,
+                                    quantize="none")
 
     def model_inputs(self, batch) -> dict:
         return dict(x=batch["units"], f0=batch.get("pitch"), mask=batch["mask"])

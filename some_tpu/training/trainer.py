@@ -153,12 +153,16 @@ class Trainer:
         def note_len(i):
             return train_ds.attr_length(i, note_key) if note_key else 0
 
+        from some_tpu.parallel.mesh import local_mesh_size
+        b_multiple = local_mesh_size(self.mesh)
         for t, batch in enumerate(own):
             step_batches = [r[t] for r in all_ranks]
             common = {
                 "t": max(max(int(sizes[i]) for i in b) for b in step_batches),
                 "b": max(len(b) for b in step_batches),
                 "n": max(max(note_len(i) for i in b) for b in step_batches),
+                # local rows must split evenly over this process's devices
+                "b_multiple": b_multiple,
             }
             yield batch, common
 
@@ -212,10 +216,21 @@ class Trainer:
         skip = getattr(self, "_resume_epoch_batch", 0)
         epoch_batch = skip
         micro_step = int(state.step)
+        # interrupt-exact sampler-position accounting: an interrupt can land
+        # anywhere inside the loop body, so the except handler derives
+        # epoch_batch from state.step (the authoritative applied-step count)
+        # instead of trusting a host counter that may be one batch ahead of
+        # or behind the in-flight train_step
+        epoch_start_micro = micro_step
+        epoch_start_skip = skip
+        profile_extra_steps = 0  # profile branch re-steps a consumed batch
         t_last = time.time()
         try:
             while micro_step < target:
                 epoch_batch = 0
+                epoch_start_micro = micro_step
+                epoch_start_skip = skip
+                profile_extra_steps = 0  # per-epoch (see except handler)
                 for batch_idx_list, common in self._epoch_batches(
                         sampler, epoch, train_ds, train_sizes):
                     if micro_step >= target:
@@ -224,12 +239,12 @@ class Trainer:
                         skip -= 1
                         epoch_batch += 1
                         continue
-                    epoch_batch += 1
                     items = [train_ds[i] for i in batch_idx_list]
                     batch = self.task.collate(items, common=common)
                     batch = shard_batch(batch, self.mesh)
                     state, logs = train_step(state, batch)
                     micro_step += 1  # host counter: no device sync per step
+                    epoch_batch += 1
                     step = micro_step // k
                     if progress is not None:
                         progress.update(1)
@@ -240,6 +255,7 @@ class Trainer:
                             state, logs = train_step(state, batch)
                             jax.block_until_ready(logs)
                         micro_step += 1
+                        profile_extra_steps += 1  # same batch stepped twice
                         step = micro_step // k
                     if micro_step % (self.log_interval * k) == 0:
                         scalars = {k: float(v) for k, v in logs.items()}
@@ -269,8 +285,16 @@ class Trainer:
                     continue
                 break
         except KeyboardInterrupt:
-            # preemption/interrupt safety: persist the exact current step
-            step = int(state.step) // k
+            # preemption/interrupt safety: persist the exact current step.
+            # Recompute the sampler position from state.step so a batch whose
+            # gradient never applied is not skipped on resume (and one that
+            # did apply is not replayed): batches consumed this epoch =
+            # batches skipped on entry + micro-steps actually applied.
+            applied = int(state.step)  # materializes the dispatched chain
+            step = applied // k
+            epoch_batch = ((epoch_start_skip - skip)
+                           + (applied - epoch_start_micro)
+                           - profile_extra_steps)
             log.warning("interrupted at step %d; saving checkpoint", step)
             self._save_ckpt(step, state, epoch, epoch_batch)
             raise
@@ -326,10 +350,12 @@ class Trainer:
                 batch = self.task.collate(items)
                 local = batch
             else:
-                # pad rows so the GLOBAL batch splits evenly over processes,
-                # then feed this process's row slice
+                # pad rows so the GLOBAL batch splits evenly over processes
+                # (b_multiple handles non-power-of-two process counts), then
+                # feed this process's row slice
                 batch = self.task.collate(
-                    items, common={"b": self.mesh.devices.size})
+                    items, common={"b": self.mesh.devices.size,
+                                   "b_multiple": self.mesh.devices.size})
                 b_pad = batch["batch_mask"].shape[0]
                 assert b_pad % n_proc == 0, (b_pad, n_proc)
                 b_loc = b_pad // n_proc

@@ -271,6 +271,10 @@ class TestBatchBuckets:
         assert pick_batch_bucket(25, 32) == 32
         assert pick_batch_bucket(3, 2) == 2   # capped by max_batch_chunks
         assert pick_batch_bucket(40, 64) == 48
+        # beyond the bucket table: geometric growth, never straight to cap
+        assert pick_batch_bucket(70, 128) == 96
+        assert pick_batch_bucket(100, 128) == 128
+        assert pick_batch_bucket(64, 128) == 64
 
     def test_row_bucketing_bounds_compiles(self, engine):
         """Distinct group sizes reuse row-bucketed programs: 5 different

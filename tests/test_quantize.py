@@ -114,6 +114,51 @@ def test_int8_engine_probs_close(engines):
     assert float(np.abs(np.asarray(b_q) - np.asarray(b_f)).mean()) < 0.05
 
 
+def test_engine_quantizes_despite_dummy_qscales():
+    """bench.py path: model built WITH quantize in config, so model.init
+    creates a dummy all-ones qscales collection — the engine must still run
+    the real load-time quantization (guard checks kernel dtypes, not qscales
+    presence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    config = dict(TINY_MODEL_CONFIG, transfer_dtype="float32",
+                  quantize="int8")
+    model = build_midi_extractor(config)
+    variables = model.init(jax.random.PRNGKey(7),
+                           np.zeros((1, 64, 80), np.float32),
+                           mask=np.ones((1, 64), bool))
+    assert "qscales" in variables  # init created the dummy collection
+    engine = MIDIExtractionInference.from_variables(
+        dict(config), jax.tree.map(np.asarray, variables), dtype=jnp.float32)
+    blk = engine.variables["params"]["backbone"]["layer_0"]["midi_block"]
+    assert np.asarray(blk["ffn1"]["fc1"]["kernel"]).dtype == np.int8
+    scale = engine.variables["qscales"]["backbone"]["layer_0"]["midi_block"][
+        "ffn1"]["fc1"]["kernel_scale"]
+    assert not np.allclose(np.asarray(scale), 1.0)  # real scales, not dummy
+    # idempotent: re-wrapping already-quantized variables must not re-quantize
+    engine2 = MIDIExtractionInference.from_variables(
+        dict(config), dict(engine.variables), dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(engine2.variables["params"]["backbone"]["layer_0"]
+                   ["midi_block"]["ffn1"]["fc1"]["kernel"]),
+        np.asarray(blk["ffn1"]["fc1"]["kernel"]))
+
+
+def test_training_graph_never_quantizes():
+    """int8 is serving-only: a task built from a config carrying the serving
+    key must produce an unquantized (differentiable) training graph."""
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from tests.test_training import TINY_CONFIG
+
+    config = dict(TINY_CONFIG, quantize="int8")
+    task = MIDIExtractionTask(config)
+    assert task.model.quant == "none"
+
+
 def test_int8_engine_notes_agree(engines):
     """End-to-end notes from the int8 engine match f32 at high note-F1."""
     from some_tpu.utils.note_f1 import note_f1

@@ -378,3 +378,25 @@ def test_warmup_lr_matches_torch_semantics():
     assert float(sched(99)) == pytest.approx(1e-4)
     # long after warmup: floored
     assert float(sched(10_000_000)) == pytest.approx(1e-5)
+
+
+def test_pad_to_bucket_b_multiple(rng):
+    """Validation on a non-power-of-two process count: b_multiple forces the
+    padded row count to split evenly (trainer.py multi-host _validate)."""
+    from some_tpu.data.collate import collate_nd, pad_to_bucket
+
+    items = [make_item(rng, 40, 4)]
+    batch = {
+        "units": collate_nd([i["units"] for i in items]),
+        "pitch": collate_nd([i["pitch"] for i in items]),
+        "unit2note": collate_nd([i["unit2note"] for i in items]),
+    }
+    out = pad_to_bucket(dict(batch), length_grid=32, note_keys=(),
+                        common={"b": 6, "b_multiple": 6})
+    # bucket_batch_size(6) = 8, rounded up to a multiple of 6 -> 12
+    assert out["units"].shape[0] == 12
+    assert out["batch_mask"].sum() == 1
+    # without b_multiple the old power-of-two behavior is unchanged
+    out2 = pad_to_bucket(dict(batch), length_grid=32, note_keys=(),
+                         common={"b": 6})
+    assert out2["units"].shape[0] == 8

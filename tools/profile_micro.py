@@ -41,13 +41,17 @@ def chain_bench(step, x0, reps=REPS, outer=3):
         return jax.lax.scan(lambda c, _: (step(c), None), x,
                             None, length=reps)[0]
 
-    out = run(x0)
-    jax.block_until_ready(out)
+    def force(out):
+        # the axon backend is LAZY: block_until_ready can return without
+        # executing (see CLAUDE.md) — fetching bytes of the result forces
+        # the whole dependent chain
+        np.asarray(out.ravel()[:1])
+
+    force(run(x0))
     best = float("inf")
     for _ in range(outer):
         t0 = time.perf_counter()
-        out = run(x0)
-        jax.block_until_ready(out)
+        force(run(x0))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 

@@ -28,15 +28,20 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True, help="checkpoint path")
-    ap.add_argument("--buckets", default="256,384,512,768,1024,1536,2048")
-    ap.add_argument("--rows", default="1,2,3,4,6,8,12,16,24,32")
+    ap.add_argument("--buckets", default=None,
+                    help="comma-separated frame buckets; default = every "
+                         "bucket the engine can serve (DEFAULT_BUCKETS)")
+    ap.add_argument("--rows", default=None,
+                    help="comma-separated row buckets; default = every row "
+                         "bucket <= the engine's max_batch_chunks")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import yaml
 
-    from some_tpu.inference.base_infer import build_inference
+    from some_tpu.inference.base_infer import (
+        DEFAULT_BATCH_BUCKETS, DEFAULT_BUCKETS, build_inference)
 
     model_path = pathlib.Path(args.model)
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
@@ -44,9 +49,16 @@ def main():
     engine = build_inference(config, model_path)
     wire = jnp.int16 if engine.transfer_int16 else jnp.float32
 
-    buckets = [int(b) for b in args.buckets.split(",")]
-    rows = [int(r) for r in args.rows.split(",")
-            if int(r) <= engine.max_batch_chunks] or [engine.max_batch_chunks]
+    # default to the engine's canonical bucket tables so warming covers every
+    # program production can hit (a hardcoded copy would drift)
+    buckets = ([int(b) for b in args.buckets.split(",")]
+               if args.buckets else list(DEFAULT_BUCKETS))
+    row_src = ([int(r) for r in args.rows.split(",")]
+               if args.rows else list(DEFAULT_BATCH_BUCKETS))
+    # pick_batch_bucket emits table entries below the cap, plus the cap
+    # itself — warm exactly that set
+    rows = sorted({r for r in row_src if r < engine.max_batch_chunks}
+                  | {engine.max_batch_chunks})
     var_shapes = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         engine._device_variables)
