@@ -225,6 +225,19 @@ class Trainer:
         epoch_start_skip = skip
         profile_extra_steps = 0  # profile branch re-steps a consumed batch
         t_last = time.time()
+        # TPU pod preemptions deliver SIGTERM (the reference only survives
+        # Ctrl-C, train.py:98 via Lightning); route it through the same
+        # checkpoint-then-exit path as KeyboardInterrupt. Restored on exit so
+        # nested/later code sees the default disposition.
+        import signal
+
+        def _sigterm(signum, frame):
+            raise KeyboardInterrupt("SIGTERM")
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:  # not the main thread (e.g. webui background fit)
+            prev_handler = None
         try:
             while micro_step < target:
                 epoch_batch = 0
@@ -299,6 +312,8 @@ class Trainer:
             self._save_ckpt(step, state, epoch, epoch_batch)
             raise
         finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
             if progress is not None:
                 progress.close()
 

@@ -400,3 +400,49 @@ def test_pad_to_bucket_b_multiple(rng):
     out2 = pad_to_bucket(dict(batch), length_grid=32, note_keys=(),
                          common={"b": 6})
     assert out2["units"].shape[0] == 8
+
+
+def test_sigterm_checkpoints_like_interrupt(tiny_dataset, tmp_path):
+    """TPU pod preemption (SIGTERM) saves a resumable checkpoint at the
+    exact applied step, like Ctrl-C. The handler is installed only for the
+    duration of fit()."""
+    import os
+    import signal
+
+    import jax
+
+    from some_tpu.parallel.mesh import make_mesh
+    from some_tpu.training.checkpoint import list_checkpoints, load_any_checkpoint, latest_checkpoint
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from some_tpu.training.trainer import Trainer
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = str(tiny_dataset)
+    mesh = make_mesh(jax.devices()[:1])
+    work_dir = tmp_path / "work"
+
+    class PreemptedTask(MIDIExtractionTask):
+        hits = 0
+
+        def collate(self, items, common=None):
+            type(self).hits += 1
+            if type(self).hits == 3:  # mid-epoch, after 2 applied steps
+                os.kill(os.getpid(), signal.SIGTERM)
+            return super().collate(items, common=common)
+
+    with pytest.raises(KeyboardInterrupt):
+        Trainer(PreemptedTask(dict(config)), work_dir, mesh=mesh) \
+            .fit(max_steps=10)
+    # handler restored to the pre-fit disposition
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    ckpts = list_checkpoints(work_dir)
+    assert ckpts, "preemption saved no checkpoint"
+    meta = load_any_checkpoint(latest_checkpoint(work_dir)).get("meta", {})
+    assert meta["micro_step"] == 2  # only applied steps counted
+    assert meta["epoch_batch"] == 2  # in-flight batch 3 not consumed
+
+    # resumes cleanly past the preemption point
+    state = Trainer(MIDIExtractionTask(dict(config)), work_dir, mesh=mesh) \
+        .fit(max_steps=4)
+    assert int(state.step) == 4
