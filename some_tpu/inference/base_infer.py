@@ -157,13 +157,27 @@ class BaseInference:
         Two phases: dispatch every bucket group first (jax dispatch is async,
         so device compute overlaps the host-side padding of later groups),
         then fetch + assemble. Avoids a host<->device round trip per group.
+
+        Chunks longer than the largest frame bucket (~6.3 min — audio whose
+        noise floor never crosses the slicer threshold arrives as one chunk)
+        are hard-split at the bucket boundary and their note lists
+        concatenated; a note sounding across a seam decodes as two abutting
+        notes of the same pitch. The torch reference would instead attempt an
+        O(T^2)-attention forward over the whole file (base_infer.py:46-53).
         """
+        buckets = getattr(self, "frame_buckets", DEFAULT_BUCKETS)
+        max_samples = buckets[-1] * self.hop - 1
         jobs = []
+        n_parts = [0] * len(waveforms)
         for i, w in enumerate(waveforms):
-            n_frames = len(w) // self.hop + 1
-            jobs.append({"idx": i, "wave": w, "frames": n_frames,
-                         "bucket": pick_bucket(n_frames)})
-        results: List[Dict[str, np.ndarray] | None] = [None] * len(waveforms)
+            for part, start in enumerate(range(0, max(len(w), 1), max_samples)):
+                piece = w[start:start + max_samples]
+                n_frames = len(piece) // self.hop + 1
+                jobs.append({"idx": i, "part": part, "wave": piece,
+                             "frames": n_frames,
+                             "bucket": pick_bucket(n_frames, buckets)})
+                n_parts[i] = part + 1
+        parts: List[list] = [[None] * n for n in n_parts]
 
         by_bucket: Dict[int, list] = {}
         for job in jobs:
@@ -193,9 +207,11 @@ class BaseInference:
         for group, out in pending:
             out = {k: np.asarray(v) for k, v in out.items()}
             for row, job in enumerate(group):
-                results[job["idx"]] = self.assemble(
+                parts[job["idx"]][job["part"]] = self.assemble(
                     {k: v[row] for k, v in out.items()}, job["frames"])
-        return results  # type: ignore[return-value]
+        return [p[0] if len(p) == 1 else
+                {k: np.concatenate([d[k] for d in p]) for k in p[0]}
+                for p in parts]
 
 
 def build_inference(config: dict, model_path: pathlib.Path | str, **kwargs

@@ -39,19 +39,45 @@ POS_CONV_KERNEL = 128
 POS_CONV_GROUPS = 16
 
 
+class _MaskedGroupNorm(nn.Module):
+    """GroupNorm with num_groups == channels (per-channel stats over TIME,
+    matching torch GroupNorm(512, 512) on [B, C, T]) that can exclude padded
+    tail frames from the statistics — zero-padding the waveform then changes
+    nothing for real frames. Parameter tree identical to nn.GroupNorm."""
+    channels: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, n_real=None):  # x: [B, T, C]
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        if n_real is None:
+            w = jnp.ones(x.shape[:2], x.dtype)
+        else:
+            w = (jnp.arange(x.shape[1]) < n_real).astype(x.dtype)[None, :]
+        denom = jnp.maximum(w.sum(1, keepdims=True), 1.0)[..., None]
+        mean = (x * w[..., None]).sum(1, keepdims=True) / denom
+        var = (jnp.square(x - mean) * w[..., None]).sum(1, keepdims=True) / denom
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
 class FeatureExtractor(nn.Module):
-    """[B, S] waveform -> [B, T, 512]."""
+    """[B, S] waveform -> [B, T, 512].
+
+    ``n_real0``: number of REAL frames after conv_0 when the waveform is
+    zero-padded to a shape bucket; only the GroupNorm statistics need it —
+    every later VALID conv's real output frame reads only real input frames.
+    """
     conv_layers: Sequence[Tuple[int, int, int]] = CONV_LAYERS
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, n_real0=None):
         x = x[:, :, None]  # NWC
         for i, (dim, kernel, stride) in enumerate(self.conv_layers):
             x = nn.Conv(dim, (kernel,), strides=(stride,), padding="VALID",
                         use_bias=False, name=f"conv_{i}")(x)
             if i == 0:
-                x = nn.GroupNorm(num_groups=dim, epsilon=1e-5,
-                                 name="group_norm")(x)
+                x = _MaskedGroupNorm(dim, name="group_norm")(x, n_real0)
             x = jax.nn.gelu(x, approximate=False)
         return x
 
@@ -62,7 +88,7 @@ class TransformerLayer(nn.Module):
     ffn_dim: int = FFN_DIM
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
         dim = x.shape[-1]
         head_dim = dim // self.heads
         residual = x
@@ -75,6 +101,8 @@ class TransformerLayer(nn.Module):
         v = v.reshape(B, T, self.heads, head_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
+        if key_mask is not None:  # [B, T] True on real frames
+            scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
         weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         att = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, T, dim)
         x = residual + nn.Dense(dim, name="out_proj")(att)
@@ -98,10 +126,24 @@ class HubertEncoder(nn.Module):
     pos_conv_groups: int = POS_CONV_GROUPS
 
     @nn.compact
-    def __call__(self, waveform):
-        feats = FeatureExtractor(self.conv_layers, name="feature_extractor")(waveform)
+    def __call__(self, waveform, n_real0=None, n_real=None):
+        """``n_real0``/``n_real``: real frame counts after conv_0 / at the
+        encoder grid when ``waveform`` is zero-padded to a shape bucket.
+        With both given, real-frame outputs are EXACTLY the unpadded
+        forward's (masked GroupNorm stats, zeroed padding before the
+        positional conv, masked attention keys); padded tail frames are
+        garbage the caller crops."""
+        feats = FeatureExtractor(self.conv_layers, name="feature_extractor")(
+            waveform, n_real0)
         feats = nn.LayerNorm(epsilon=1e-5, name="feature_norm")(feats)
         x = nn.Dense(self.embed_dim, name="post_proj")(feats)
+        frame_mask = None
+        if n_real is not None:
+            frame_mask = jnp.arange(x.shape[1]) < n_real  # [T]
+            frame_mask = jnp.broadcast_to(frame_mask[None], x.shape[:2])
+            # zero padded frames so the positional conv's receptive field
+            # sees exactly the implicit zeros an unpadded forward would
+            x = jnp.where(frame_mask[..., None], x, 0)
 
         # relative positional conv (weight-norm folded at conversion time)
         pos_kernel = self.param(
@@ -121,7 +163,8 @@ class HubertEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(x)
 
         for i in range(min(self.output_layer, self.num_layers)):
-            x = TransformerLayer(self.heads, self.ffn_dim, name=f"layer_{i}")(x)
+            x = TransformerLayer(self.heads, self.ffn_dim, name=f"layer_{i}")(
+                x, frame_mask)
         return x
 
 
@@ -275,8 +318,34 @@ class _PickleShim:
     HIGHEST_PROTOCOL = pickle.HIGHEST_PROTOCOL
 
 
+def conv_frames(n_samples: int, upto: int | None = None,
+                conv_layers=CONV_LAYERS) -> int:
+    """Output frame count of the first ``upto`` VALID conv layers."""
+    for dim, kernel, stride in conv_layers[:upto]:
+        n_samples = (n_samples - kernel) // stride + 1
+    return n_samples
+
+
+def _sample_bucket(n: int, start: int = 16000) -> int:
+    """Geometric (x1.5) sample-count bucket: bounded compile count across a
+    dataset of arbitrary song lengths (each distinct jit shape costs minutes
+    through the remote TPU compiler)."""
+    b = start
+    while b < n:
+        b = b * 3 // 2
+    return b
+
+
 class ContentVecEncoder:
-    """Drop-in for the reference ContentVec768L12 units encoder."""
+    """Drop-in for the reference ContentVec768L12 units encoder.
+
+    Waveforms are zero-padded to geometric sample buckets so a whole dataset
+    binarizes with a handful of compiled programs instead of one per song
+    length; masked GroupNorm/pos-conv/attention make the padded forward
+    bit-equal to the unpadded one on real frames (see HubertEncoder). The
+    weights ride as a jit argument, never a closure constant (the remote TPU
+    compiler rejects programs with baked-in ~100 MB constants — CLAUDE.md).
+    """
 
     _cache: dict = {}
 
@@ -284,7 +353,8 @@ class ContentVecEncoder:
         self.model = HubertEncoder(output_layer=output_layer)
         sd = load_fairseq_checkpoint(ckpt_path)
         self.variables = convert_fairseq_state_dict(sd, output_layer=output_layer)
-        self._forward = jax.jit(lambda w: self.model.apply(self.variables, w))
+        self._forward = jax.jit(
+            lambda variables, w, n0, nf: self.model.apply(variables, w, n0, nf))
 
     @classmethod
     def cached(cls, ckpt_path) -> "ContentVecEncoder":
@@ -302,5 +372,12 @@ class ContentVecEncoder:
 
         if sample_rate != 16000:
             waveform = resample(waveform, sample_rate, 16000)
-        out = self._forward(np.asarray(waveform, np.float32)[None])
-        return np.asarray(out)[0]
+        waveform = np.asarray(waveform, np.float32)
+        n = len(waveform)
+        padded = np.zeros(_sample_bucket(n), np.float32)
+        padded[:n] = waveform
+        n_real0 = conv_frames(n, upto=1)
+        n_real = conv_frames(n)
+        out = self._forward(self.variables, padded[None],
+                            jnp.int32(n_real0), jnp.int32(n_real))
+        return np.asarray(out)[0, :n_real]

@@ -355,8 +355,12 @@ class RMVPE:
         else:  # random init (tests)
             self.variables = self.model.init(
                 jax.random.PRNGKey(0), np.zeros((1, 32, N_MELS), np.float32))
+        # variables ride as a jit ARGUMENT, not a closure constant: the
+        # remote TPU compiler rejects programs with large baked-in weights
+        # (HTTP 413 — see CLAUDE.md), and the argument form lets the ~170 MB
+        # checkpoint stay resident across shape retraces
         self._forward = jax.jit(
-            lambda mel: self.model.apply(self.variables, mel))
+            lambda variables, mel: self.model.apply(variables, mel))
 
     @classmethod
     def cached(cls, model_path) -> "RMVPE":
@@ -374,7 +378,7 @@ class RMVPE:
         n_frames = mel.shape[0]
         pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
         mel = np.pad(mel, ((0, pad), (0, 0)))
-        hidden = np.asarray(self._forward(mel[None]))
+        hidden = np.asarray(self._forward(self.variables, mel[None]))
         return hidden[:, :n_frames]
 
     def infer_from_audio(self, audio: np.ndarray, sample_rate: int = 16000,

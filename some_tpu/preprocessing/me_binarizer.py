@@ -185,6 +185,25 @@ class MIDIExtractionBinarizer(BaseBinarizer):
         item["unit2note"] = durations_to_alignment(durs, length, self.timestep)
         return item
 
+    def _effective_shift_range(self, note_midi) -> tuple:
+        """Clamp the configured key-shift range so every shifted label stays
+        inside [midi_min, midi_max]. The reference shifts unclipped
+        (me_binarizer.py:246), which can push labels out of the bin/class
+        range — torch CE would crash loudly, but a jitted gather clamps
+        SILENTLY, so out-of-range labels must never be produced."""
+        import numpy as np
+
+        midi_min = float(self.config.get("midi_min", 0))
+        midi_max = float(self.config.get("midi_max", 127))
+        voiced = np.asarray(note_midi, np.float64)
+        if voiced.size == 0:
+            return 0.0, 0.0
+        lo = max(float(self.key_shift_min), midi_min - float(voiced.min()))
+        hi = min(float(self.key_shift_max), midi_max - float(voiced.max()))
+        if lo > hi:  # item spans more than the label range allows
+            return 0.0, 0.0
+        return lo, hi
+
     def process_item(self, item_name: str, meta_data: dict,
                      allow_aug: bool = False) -> List[dict]:
         waveform, _ = load_wav(meta_data["wav_fn"],
@@ -197,11 +216,11 @@ class MIDIExtractionBinarizer(BaseBinarizer):
         # (the reference draws from the global RNG, me_binarizer.py:237, so
         # its augmented shifts differ every run — deliberate improvement).
         rng = random.Random(f"{self.config.get('seed', 0)}:{item_name}")
+        lo, hi = self._effective_shift_range(base["note_midi"])
         for _ in range(self.key_shift_factor):
             assert self.config["units_encoder"] == "mel", \
                 "Units encoder must be mel if augmentation is applied!"
-            shift = rng.random() * (self.key_shift_max - self.key_shift_min) \
-                + self.key_shift_min
+            shift = rng.random() * (hi - lo) + lo
             if self.round_midi:
                 shift = round(shift)
             aug = dict(base)

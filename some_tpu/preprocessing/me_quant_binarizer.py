@@ -34,10 +34,19 @@ class QuantizedMIDIExtractionBinarizer(MIDIExtractionBinarizer):
         if not allow_aug:
             return items
         rng = random.Random(f"{self.config.get('seed', 0)}:{item_name}")
+        # rests (class 128) are never shifted; clamp to the voiced range so
+        # no shifted label leaves [midi_min, midi_max] (see
+        # MIDIExtractionBinarizer._effective_shift_range)
+        import math
+        lo, hi = self._effective_shift_range(
+            base["note_midi"][~base["note_rest"]])
+        lo, hi = math.ceil(lo), math.floor(hi)
+        if lo > hi:  # float range contains no integer
+            lo = hi = 0
         for _ in range(self.key_shift_factor):
             assert self.config["units_encoder"] == "mel", \
                 "Units encoder must be mel if augmentation is applied!"
-            shift = rng.randint(int(self.key_shift_min), int(self.key_shift_max))
+            shift = rng.randint(lo, hi)
             aug = dict(base)
             aug["units"] = self.compute_units(waveform, keyshift=shift)
             aug["pitch"] = base["pitch"] + shift

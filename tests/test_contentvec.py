@@ -96,3 +96,39 @@ def test_fairseq_layout_converter(rng):
     wave = rng.standard_normal((1, 3200)).astype(np.float32)
     out = jax.eval_shape(lambda: model.apply(variables, wave))
     assert out.shape[-1] == 768
+
+
+def test_padded_masked_forward_matches_unpadded(rng):
+    """Bucketed zero-padding with masked GroupNorm/pos-conv/attention is
+    exact on real frames — the shape-bucketing ContentVecEncoder uses never
+    changes unit values."""
+    import jax
+    import jax.numpy as jnp
+
+    from some_tpu.nn.contentvec import conv_frames
+
+    model = HubertEncoder(output_layer=OUT_LAYER, num_layers=LAYERS,
+                          conv_layers=CONV, embed_dim=DIM, heads=HEADS,
+                          ffn_dim=FFN, pos_conv_kernel=POS_K, pos_conv_groups=POS_G)
+    wave = rng.standard_normal((1, 800)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(3), wave)
+    ref = np.asarray(model.apply(variables, wave))
+
+    padded = np.zeros((1, 1280), np.float32)
+    padded[:, :800] = wave
+    n0 = conv_frames(800, upto=1, conv_layers=CONV)
+    nf = conv_frames(800, conv_layers=CONV)
+    assert ref.shape[1] == nf
+    out = np.asarray(model.apply(variables, padded,
+                                 jnp.int32(n0), jnp.int32(nf)))
+    np.testing.assert_allclose(out[:, :nf], ref, atol=2e-5, rtol=1e-4)
+
+
+def test_sample_bucket_grid():
+    from some_tpu.nn.contentvec import _sample_bucket
+
+    assert _sample_bucket(1) == 16000
+    assert _sample_bucket(16000) == 16000
+    assert _sample_bucket(16001) == 24000
+    b = _sample_bucket(10 * 60 * 16000)  # 10 min stays within 1.5x
+    assert b >= 10 * 60 * 16000 and b <= 15 * 60 * 16000

@@ -286,3 +286,34 @@ class TestBatchBuckets:
             assert len(outs) == n
         grown = engine._pipeline._cache_size() - before
         assert grown <= 4, grown  # rows buckets hit: 1, 2, 3, 6
+
+
+def test_oversized_chunk_splits_instead_of_crashing(engine):
+    """A chunk longer than the largest frame bucket (e.g. >6 min of audio
+    with no silence for the slicer) hard-splits at the bucket boundary and
+    returns one concatenated note list; the round-1 engine raised ValueError
+    ('slice the audio first')."""
+    import copy
+
+    eng = copy.copy(engine)
+    eng.frame_buckets = (64, 128)  # shrink the table so the test stays tiny
+    if hasattr(eng, "_logged_buckets"):
+        del eng._logged_buckets
+    hop, sr = eng.hop, eng.config["audio_sample_rate"]
+    wav = synth(300 * hop / sr, freq=440.0, seed=21)  # ~300 frames > 128
+
+    out = eng.infer([wav])[0]
+    assert set(out) == {"note_midi", "note_dur", "note_rest"}
+    total = float(out["note_dur"].sum())
+    expect = (len(wav) // hop + 3) * hop / sr  # + rounding slack per part
+    assert abs(total - expect) < 0.1, (total, expect)
+
+    # equality with an explicit pre-split at the same boundary
+    max_samples = 128 * hop - 1
+    ref_parts = engine_parts = eng.infer(
+        [wav[:max_samples], wav[max_samples:2 * max_samples],
+         wav[2 * max_samples:]])
+    ref = {k: np.concatenate([p[k] for p in ref_parts]) for k in ref_parts[0]}
+    np.testing.assert_array_equal(out["note_midi"], ref["note_midi"])
+    np.testing.assert_allclose(out["note_dur"], ref["note_dur"])
+    np.testing.assert_array_equal(out["note_rest"], ref["note_rest"])

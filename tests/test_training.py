@@ -446,3 +446,65 @@ def test_sigterm_checkpoints_like_interrupt(tiny_dataset, tmp_path):
     state = Trainer(MIDIExtractionTask(dict(config)), work_dir, mesh=mesh) \
         .fit(max_steps=4)
     assert int(state.step) == 4
+
+
+def test_binarizer_keyshift_clamped_to_label_range(monkeypatch, tmp_path):
+    """Shifts are clamped per item so augmented labels stay inside
+    [midi_min, midi_max]: a jitted CE gather clamps out-of-range labels
+    SILENTLY, so the binarizer must never produce them (the torch reference
+    can overshoot, me_binarizer.py:246)."""
+    import some_tpu.preprocessing.me_binarizer as mb
+    import some_tpu.preprocessing.me_quant_binarizer as mqb
+
+    monkeypatch.setattr(mb, "load_wav",
+                        lambda fn, sr, mono: (np.zeros(16000, np.float32), sr))
+    monkeypatch.setattr(mqb, "load_wav",
+                        lambda fn, sr, mono: (np.zeros(16000, np.float32), sr))
+
+    class _Probe(mb.MIDIExtractionBinarizer):
+        def __init__(self):
+            self.config = {"seed": 7, "units_encoder": "mel",
+                           "audio_sample_rate": 16000,
+                           "midi_min": 0, "midi_max": 127}
+            self.key_shift_factor = 20
+            self.key_shift_min, self.key_shift_max = -12.0, 12.0
+            self.round_midi = False
+
+        def compute_units(self, waveform, keyshift=0):
+            return np.full((4, 2), keyshift, np.float32)
+
+        def _process_item(self, waveform, meta_data, int_midi=False):
+            return {"units": np.zeros((4, 2), np.float32),
+                    "pitch": np.zeros(4, np.float32),
+                    "note_midi": np.array([120.0, 125.0], np.float32)}
+
+    items = _Probe().process_item("x", {"wav_fn": "x.wav"}, allow_aug=True)
+    for aug in items[1:]:
+        assert aug["note_midi"].max() <= 127.0 + 1e-6
+        assert aug["note_midi"].min() >= 0.0 - 1e-6
+
+    class _QProbe(mqb.QuantizedMIDIExtractionBinarizer):
+        def __init__(self):
+            self.config = {"seed": 7, "units_encoder": "mel",
+                           "audio_sample_rate": 16000,
+                           "midi_min": 0, "midi_max": 127}
+            self.key_shift_factor = 20
+            self.key_shift_min, self.key_shift_max = -12.0, 12.0
+            self.round_midi = True
+
+        def compute_units(self, waveform, keyshift=0):
+            return np.full((4, 2), keyshift, np.float32)
+
+        def _process_item(self, waveform, meta_data, int_midi=True):
+            return {"units": np.zeros((4, 2), np.float32),
+                    "pitch": np.zeros(4, np.float32),
+                    "note_midi": np.array([3, 125, 60], np.int64),
+                    "note_rest": np.array([False, False, True])}
+
+    items = _QProbe().process_item("x", {"wav_fn": "x.wav"}, allow_aug=True)
+    for aug in items[1:]:
+        voiced = aug["note_midi"][aug["note_midi"] != 128]
+        assert voiced.max() <= 127 and voiced.min() >= 0
+        # shift range [3-0 .. 127-125] -> [-3, 2]; with 20 draws both-ish ends hit
+    shifts = {int(i["units"][0, 0]) for i in items[1:]}
+    assert shifts <= set(range(-3, 3))

@@ -77,10 +77,21 @@ def main():
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--dim", type=int, default=64)
     parser.add_argument("--lay", type=int, default=2)
+    parser.add_argument("--heads", type=int, default=2)
+    parser.add_argument("--heads_dim", type=int, default=32)
+    parser.add_argument("--kernel_size", type=int, default=15)
+    parser.add_argument("--precision", choices=["32-true", "bf16"],
+                        default="32-true")
+    parser.add_argument("--prod", action="store_true",
+                        help="production geometry shorthand: 8x512, 8 heads "
+                             "x 64, k=31, bf16 (midi_conformer.yaml shape)")
     parser.add_argument("--workdir", default=None)
     parser.add_argument("--task", choices=["continuous", "quant"],
                         default="continuous")
     args = parser.parse_args()
+    if args.prod:
+        args.lay, args.dim, args.heads, args.heads_dim = 8, 512, 8, 64
+        args.kernel_size, args.precision = 31, "bf16"
 
     base = pathlib.Path(args.workdir
                         or tempfile.mkdtemp(prefix=f"smoke_train_{args.task}_"))
@@ -118,11 +129,13 @@ def main():
         "permanent_ckpt_start": 0, "permanent_ckpt_interval": 0,
         "sampler_frame_count_grid": 6, "accumulate_grad_batches": 1,
         "sort_by_len": True,
+        "pl_trainer_precision": args.precision,
         "midi_extractor_args": {
             "lay": args.lay, "dim": args.dim, "use_lay_skip": True,
-            "kernel_size": 15, "conv_drop": 0.1, "ffn_latent_drop": 0.1,
-            "ffn_out_drop": 0.1, "attention_drop": 0.1, "attention_heads": 2,
-            "attention_heads_dim": 32},
+            "kernel_size": args.kernel_size, "conv_drop": 0.1,
+            "ffn_latent_drop": 0.1, "ffn_out_drop": 0.1,
+            "attention_drop": 0.1, "attention_heads": args.heads,
+            "attention_heads_dim": args.heads_dim},
     }
 
     if args.task == "quant":
