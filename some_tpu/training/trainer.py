@@ -93,7 +93,14 @@ class Trainer:
         import jax.tree_util as jtu
 
         ckpt = load_any_checkpoint(self.config["finetune_ckpt_path"])
-        blacklist = tuple(self.config.get("finetune_ignored_params") or [])
+        # reference blacklists name Lightning state-dict keys ('model.xxx',
+        # base_task.py:200-207); accept those verbatim and also match bare
+        blacklist = []
+        for prefix in (self.config.get("finetune_ignored_params") or []):
+            blacklist.append(prefix)
+            if prefix.startswith("model."):
+                blacklist.append(prefix[len("model."):])
+        blacklist = tuple(blacklist)
         strict_shapes = self.config.get("finetune_strict_shapes", True)
 
         def merge(cur_tree, new_tree, collection):

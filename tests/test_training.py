@@ -508,3 +508,83 @@ def test_binarizer_keyshift_clamped_to_label_range(monkeypatch, tmp_path):
         # shift range [3-0 .. 127-125] -> [-3, 2]; with 20 draws both-ish ends hit
     shifts = {int(i["units"][0, 0]) for i in items[1:]}
     assert shifts <= set(range(-3, 3))
+
+
+def test_param_freezing_zeroes_updates(rng):
+    """freezing_enabled + frozen_params: prefix-matched params (with or
+    without the reference's 'model.' prefix) receive zero updates while the
+    rest train (reference: training/base_task.py:144-163)."""
+    import jax
+
+    from some_tpu.parallel.mesh import make_mesh, shard_batch
+    from some_tpu.training.me_task import MIDIExtractionTask
+
+    config = dict(TINY_CONFIG, freezing_enabled=True,
+                  frozen_params=["model.backbone.in_proj_midi"])
+    task = MIDIExtractionTask(config)
+    mesh = make_mesh(jax.devices()[:1])
+    step = task.make_train_step(mesh, donate=False)
+
+    item = make_item(rng, 48, 4)
+    batch = shard_batch(task.collate([item]), mesh)
+    state0 = task.place_state(task.init_state())
+    frozen0 = np.asarray(state0.params["backbone"]["in_proj_midi"]["kernel"])
+    other0 = np.asarray(state0.params["backbone"]["in_proj_bound"]["kernel"])
+    state1, _ = step(state0, batch)
+    state2, _ = step(state1, batch)
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["backbone"]["in_proj_midi"]["kernel"]), frozen0)
+    assert not np.array_equal(
+        np.asarray(state2.params["backbone"]["in_proj_bound"]["kernel"]), other0)
+
+
+def test_finetune_partial_load(tiny_dataset, tmp_path, rng):
+    """finetune_enabled loads a pretrained ckpt into a fresh run with prefix
+    blacklist + shape-mismatch filtering (reference: base_task.py:165-213)."""
+    import jax
+
+    from some_tpu.parallel.mesh import make_mesh
+    from some_tpu.training.checkpoint import save_checkpoint
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from some_tpu.training.trainer import Trainer
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = str(tiny_dataset)
+    mesh = make_mesh(jax.devices()[:1])
+
+    # pretrained ckpt: a distinctively-valued param tree of the same geometry
+    donor = MIDIExtractionTask(dict(config)).init_state(seed=99)
+    donor_params = jax.tree.map(lambda x: np.asarray(x) + 0.5, donor.params)
+    save_checkpoint(tmp_path, 1234, donor_params, donor.batch_stats)
+
+    ft_config = dict(
+        config, finetune_enabled=True,
+        finetune_ckpt_path=str(tmp_path / "model_ckpt_steps_1234.ckpt"),
+        finetune_ignored_params=["model.backbone.bound_head"],
+        finetune_strict_shapes=True)
+    trainer = Trainer(MIDIExtractionTask(ft_config), tmp_path / "work", mesh=mesh)
+    state = trainer.restore_or_init()
+    assert int(state.step) == 0  # finetune start, not a resume
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["in_proj_midi"]["kernel"]),
+        np.asarray(donor_params["backbone"]["in_proj_midi"]["kernel"]))
+    # blacklisted head kept its fresh init (!= donor values)
+    assert not np.array_equal(
+        np.asarray(state.params["backbone"]["bound_head"]["kernel"]),
+        np.asarray(donor_params["backbone"]["bound_head"]["kernel"]))
+
+    # shape-mismatch filtering: donor trained with a different head count is
+    # rejected under strict shapes, skipped (kept fresh) otherwise
+    bad = jax.tree.map(np.asarray, donor_params)
+    bad["backbone"]["out_proj"]["kernel"] = np.zeros((7, 7), np.float32)
+    save_checkpoint(tmp_path / "bad", 1, bad, {})
+    bad_cfg = dict(ft_config,
+                   finetune_ckpt_path=str(tmp_path / "bad" /
+                                          "model_ckpt_steps_1.ckpt"))
+    with pytest.raises(ValueError):
+        Trainer(MIDIExtractionTask(bad_cfg), tmp_path / "w2",
+                mesh=mesh).restore_or_init()
+    lax_cfg = dict(bad_cfg, finetune_strict_shapes=False)
+    state2 = Trainer(MIDIExtractionTask(lax_cfg), tmp_path / "w3",
+                     mesh=mesh).restore_or_init()
+    assert state2.params["backbone"]["out_proj"]["kernel"].shape != (7, 7)
