@@ -588,3 +588,38 @@ def test_finetune_partial_load(tiny_dataset, tmp_path, rng):
     state2 = Trainer(MIDIExtractionTask(lax_cfg), tmp_path / "w3",
                      mesh=mesh).restore_or_init()
     assert state2.params["backbone"]["out_proj"]["kernel"].shape != (7, 7)
+
+
+def test_lr_config_change_applies_on_resume(tiny_dataset, tmp_path):
+    """Changing lr_scheduler_args/optimizer lr on resume takes effect
+    retroactively: the optax schedule is a pure function of the step counter,
+    giving the reference's simulate_lr_scheduler semantics
+    (utils/__init__.py:272-283, base_task.py:418-456) with no replay."""
+    import jax
+
+    from some_tpu.parallel.mesh import make_mesh
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from some_tpu.training.trainer import Trainer
+
+    config = dict(TINY_CONFIG)
+    config["binary_data_dir"] = str(tiny_dataset)
+    mesh = make_mesh(jax.devices()[:1])
+    work = tmp_path / "work"
+
+    Trainer(MIDIExtractionTask(dict(config)), work, mesh=mesh).fit(max_steps=3)
+
+    new_cfg = dict(config)
+    new_cfg["optimizer_args"] = dict(config["optimizer_args"], lr=5e-3)
+    new_cfg["lr_scheduler_args"] = dict(config["lr_scheduler_args"],
+                                        warmup_steps=20)
+    task2 = MIDIExtractionTask(new_cfg)
+    trainer2 = Trainer(task2, work, mesh=mesh)
+    state = trainer2.restore_or_init()
+    assert int(state.step) == 3
+    # the resumed schedule IS the new config's curve, evaluated at the
+    # restored step — not the old curve, not a restart from 0
+    from some_tpu.training.schedules import WarmupLR
+    expect = WarmupLR(lr=5e-3, warmup_steps=20, min_lr=1e-5)
+    assert float(task2.schedule(3)) == pytest.approx(float(expect(3)))
+    assert float(task2.schedule(3)) != pytest.approx(
+        float(WarmupLR(lr=1e-3, warmup_steps=10, min_lr=1e-5)(3)))
