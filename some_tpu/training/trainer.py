@@ -173,6 +173,61 @@ class Trainer:
             }
             yield batch, common
 
+    def _prepared_batches(self, epoch_iter, train_ds):
+        """(idx_list, common) -> (idx_list, sharded device batch), with the
+        HDF5 reads + collate + device_put of batch N+1 running in a worker
+        thread while the device executes step N (the reference gets this
+        overlap from ds_workers persistent DataLoader processes,
+        training/base_task.py:360-380; config key kept). ds_workers: 0
+        disables the thread; any N>0 sets the lookahead depth."""
+        def prepare(args):
+            idx_list, common = args
+            items = [train_ds[i] for i in idx_list]
+            batch = self.task.collate(items, common=common)
+            return idx_list, shard_batch(batch, self.mesh)
+
+        depth = int(self.config.get("ds_workers", 1) or 0)
+        if depth <= 0:
+            for args in epoch_iter:
+                yield prepare(args)
+            return
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+        sentinel = object()
+
+        def worker():
+            try:
+                for args in epoch_iter:
+                    if stop.is_set():
+                        return
+                    q.put(prepare(args))
+                q.put(sentinel)
+            except BaseException as exc:  # surfaced on the main thread
+                q.put(exc)
+
+        thread = threading.Thread(target=worker, daemon=True,
+                                  name="some_tpu-prefetch")
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a worker parked on put()
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
     def fit(self, max_steps: Optional[int] = None):
         config = self.config
         (train_ds, train_sizes), (valid_ds, valid_sizes) = self.task.load_datasets()
@@ -251,17 +306,34 @@ class Trainer:
                 epoch_start_micro = micro_step
                 epoch_start_skip = skip
                 profile_extra_steps = 0  # per-epoch (see except handler)
-                for batch_idx_list, common in self._epoch_batches(
-                        sampler, epoch, train_ds, train_sizes):
+                epoch_iter = self._epoch_batches(
+                    sampler, epoch, train_ds, train_sizes)
+                # consume the resume-skip BEFORE the prefetcher so skipped
+                # batches cost no dataset reads
+                while skip > 0:
+                    if next(epoch_iter, None) is None:
+                        break
+                    skip -= 1
+                    epoch_batch += 1
+
+                hit_target = False
+
+                def stop_at_target(it):
+                    # re-check the LIVE counter before each dataset read so
+                    # the synchronous path reads nothing past the target
+                    # (with ds_workers>0 the worker thread intentionally
+                    # reads ahead; the extra prepared batches are unused)
+                    nonlocal hit_target
+                    for args in it:
+                        if micro_step >= target:
+                            hit_target = True
+                            return
+                        yield args
+
+                for batch_idx_list, batch in self._prepared_batches(
+                        stop_at_target(epoch_iter), train_ds):
                     if micro_step >= target:
                         break
-                    if skip > 0:
-                        skip -= 1
-                        epoch_batch += 1
-                        continue
-                    items = [train_ds[i] for i in batch_idx_list]
-                    batch = self.task.collate(items, common=common)
-                    batch = shard_batch(batch, self.mesh)
                     state, logs = train_step(state, batch)
                     micro_step += 1  # host counter: no device sync per step
                     epoch_batch += 1
@@ -297,11 +369,13 @@ class Trainer:
                         self._validate(state, valid_ds, val_sampler)
                         self._save_ckpt(step, state, epoch, epoch_batch)
                 else:
-                    # epoch exhausted (no break): advance; a break on
-                    # target keeps (epoch, epoch_batch) at the exact
-                    # mid-epoch position for the final checkpoint meta
-                    epoch += 1
-                    epoch_batch = 0
+                    # the for can end two ways without break: the epoch is
+                    # genuinely exhausted (advance it) or the target guard
+                    # stopped the iterator mid-epoch (keep the exact
+                    # (epoch, epoch_batch) position for the checkpoint meta)
+                    if not hit_target:
+                        epoch += 1
+                        epoch_batch = 0
                     continue
                 break
         except KeyboardInterrupt:
