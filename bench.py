@@ -173,16 +173,19 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
 
     # host-COMPUTE-only attribution (no device work, no transfer): on a
     # tunneled dev setup host_fraction is dominated by the slow host link;
-    # this separates the part the host code is actually responsible for
-    t0 = time.perf_counter()
-    waveform, _ = load_wav(wav_path, sr=sr, mono=True)
-    cs = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(waveform)
-    for c in cs:
-        np.clip(np.round(c["waveform"] * 32768.0), -32768, 32767
-                ).astype(np.int16)
-    build_midi_file([c["offset"] for c in cs], segments,
-                    tempo=120).save(midi_path)
-    host_compute_time = time.perf_counter() - t0
+    # this separates the part the host code is actually responsible for.
+    # Best-of-3: the single shared core also services tunnel I/O.
+    host_compute_time = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        waveform, _ = load_wav(wav_path, sr=sr, mono=True)
+        cs = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(waveform)
+        for c in cs:
+            np.clip(np.round(c["waveform"] * 32768.0), -32768, 32767
+                    ).astype(np.int16)
+        build_midi_file([c["offset"] for c in cs], segments,
+                        tempo=120).save(midi_path)
+        host_compute_time = min(host_compute_time, time.perf_counter() - t0)
 
     host_fraction = max(0.0, 1.0 - device_time / best)
     host_compute_fraction = min(host_fraction, host_compute_time / best)
