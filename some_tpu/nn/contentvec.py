@@ -352,7 +352,11 @@ class ContentVecEncoder:
     def __init__(self, ckpt_path: pathlib.Path | str, output_layer: int = 9):
         self.model = HubertEncoder(output_layer=output_layer)
         sd = load_fairseq_checkpoint(ckpt_path)
-        self.variables = convert_fairseq_state_dict(sd, output_layer=output_layer)
+        # device_put ONCE: as device-resident Arrays the weights stay put and
+        # the jit argument is a no-copy reference; host-numpy args would
+        # re-upload ~100 MB per call
+        self.variables = jax.device_put(
+            convert_fairseq_state_dict(sd, output_layer=output_layer))
         self._forward = jax.jit(
             lambda variables, w, n0, nf: self.model.apply(variables, w, n0, nf))
 
@@ -374,10 +378,12 @@ class ContentVecEncoder:
             waveform = resample(waveform, sample_rate, 16000)
         waveform = np.asarray(waveform, np.float32)
         n = len(waveform)
+        n_real = max(conv_frames(n), 0)
+        if n_real == 0:  # shorter than the conv stack's receptive field
+            return np.zeros((0, EMBED_DIM), np.float32)
         padded = np.zeros(_sample_bucket(n), np.float32)
         padded[:n] = waveform
-        n_real0 = conv_frames(n, upto=1)
-        n_real = conv_frames(n)
+        n_real0 = max(conv_frames(n, upto=1), 0)
         out = self._forward(self.variables, padded[None],
                             jnp.int32(n_real0), jnp.int32(n_real))
         return np.asarray(out)[0, :n_real]

@@ -357,8 +357,10 @@ class RMVPE:
                 jax.random.PRNGKey(0), np.zeros((1, 32, N_MELS), np.float32))
         # variables ride as a jit ARGUMENT, not a closure constant: the
         # remote TPU compiler rejects programs with large baked-in weights
-        # (HTTP 413 — see CLAUDE.md), and the argument form lets the ~170 MB
-        # checkpoint stay resident across shape retraces
+        # (HTTP 413 — see CLAUDE.md). device_put once so the checkpoint is a
+        # device-resident reference (host-numpy args would re-upload ~170 MB
+        # per call).
+        self.variables = jax.device_put(self.variables)
         self._forward = jax.jit(
             lambda variables, mel: self.model.apply(variables, mel))
 

@@ -185,23 +185,25 @@ class MIDIExtractionBinarizer(BaseBinarizer):
         item["unit2note"] = durations_to_alignment(durs, length, self.timestep)
         return item
 
-    def _effective_shift_range(self, note_midi) -> tuple:
+    def _effective_shift_range(self, note_midi):
         """Clamp the configured key-shift range so every shifted label stays
         inside [midi_min, midi_max]. The reference shifts unclipped
         (me_binarizer.py:246), which can push labels out of the bin/class
         range — torch CE would crash loudly, but a jitted gather clamps
-        SILENTLY, so out-of-range labels must never be produced."""
-        import numpy as np
+        SILENTLY, so out-of-range labels must never be produced.
 
+        Returns (lo, hi), or None when no shift is possible (item already
+        spans the whole label range) — callers skip augmentation rather than
+        emit key_shift_factor byte-identical copies of the base item."""
         midi_min = float(self.config.get("midi_min", 0))
         midi_max = float(self.config.get("midi_max", 127))
         voiced = np.asarray(note_midi, np.float64)
         if voiced.size == 0:
-            return 0.0, 0.0
+            return None
         lo = max(float(self.key_shift_min), midi_min - float(voiced.min()))
         hi = min(float(self.key_shift_max), midi_max - float(voiced.max()))
         if lo > hi:  # item spans more than the label range allows
-            return 0.0, 0.0
+            return None
         return lo, hi
 
     def process_item(self, item_name: str, meta_data: dict,
@@ -216,7 +218,10 @@ class MIDIExtractionBinarizer(BaseBinarizer):
         # (the reference draws from the global RNG, me_binarizer.py:237, so
         # its augmented shifts differ every run — deliberate improvement).
         rng = random.Random(f"{self.config.get('seed', 0)}:{item_name}")
-        lo, hi = self._effective_shift_range(base["note_midi"])
+        shift_range = self._effective_shift_range(base["note_midi"])
+        if shift_range is None:
+            return items
+        lo, hi = shift_range
         for _ in range(self.key_shift_factor):
             assert self.config["units_encoder"] == "mel", \
                 "Units encoder must be mel if augmentation is applied!"

@@ -38,11 +38,13 @@ class QuantizedMIDIExtractionBinarizer(MIDIExtractionBinarizer):
         # no shifted label leaves [midi_min, midi_max] (see
         # MIDIExtractionBinarizer._effective_shift_range)
         import math
-        lo, hi = self._effective_shift_range(
+        shift_range = self._effective_shift_range(
             base["note_midi"][~base["note_rest"]])
-        lo, hi = math.ceil(lo), math.floor(hi)
-        if lo > hi:  # float range contains no integer
-            lo = hi = 0
+        if shift_range is None:
+            return items
+        lo, hi = math.ceil(shift_range[0]), math.floor(shift_range[1])
+        if lo > hi:  # float range contains no integer shift
+            return items
         for _ in range(self.key_shift_factor):
             assert self.config["units_encoder"] == "mel", \
                 "Units encoder must be mel if augmentation is applied!"

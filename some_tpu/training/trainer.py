@@ -296,10 +296,13 @@ class Trainer:
         def _sigterm(signum, frame):
             raise KeyboardInterrupt("SIGTERM")
 
+        handler_installed = False
+        prev_handler = None
         try:
             prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+            handler_installed = True
         except ValueError:  # not the main thread (e.g. webui background fit)
-            prev_handler = None
+            pass
         try:
             while micro_step < target:
                 epoch_batch = 0
@@ -393,8 +396,12 @@ class Trainer:
             self._save_ckpt(step, state, epoch, epoch_batch)
             raise
         finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            if handler_installed:
+                # restore even when the prior disposition reads as None
+                # (set outside Python) — SIG_DFL is the faithful stand-in
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
             if progress is not None:
                 progress.close()
 

@@ -310,7 +310,7 @@ def test_oversized_chunk_splits_instead_of_crashing(engine):
 
     # equality with an explicit pre-split at the same boundary
     max_samples = 128 * hop - 1
-    ref_parts = engine_parts = eng.infer(
+    ref_parts = eng.infer(
         [wav[:max_samples], wav[max_samples:2 * max_samples],
          wav[2 * max_samples:]])
     ref = {k: np.concatenate([p[k] for p in ref_parts]) for k in ref_parts[0]}

@@ -421,7 +421,11 @@ def test_sigterm_checkpoints_like_interrupt(tiny_dataset, tmp_path):
     from some_tpu.training.me_task import MIDIExtractionTask
     from some_tpu.training.trainer import Trainer
 
-    config = dict(TINY_CONFIG)
+    # ds_workers=0: the kill must land on the MAIN thread's collate so the
+    # applied-step count at signal time is deterministic (with prefetch the
+    # worker thread collates ahead of the step loop and the SIGTERM would
+    # race the dispatch)
+    config = dict(TINY_CONFIG, ds_workers=0)
     config["binary_data_dir"] = str(tiny_dataset)
     mesh = make_mesh(jax.devices()[:1])
     work_dir = tmp_path / "work"
@@ -431,7 +435,7 @@ def test_sigterm_checkpoints_like_interrupt(tiny_dataset, tmp_path):
 
         def collate(self, items, common=None):
             type(self).hits += 1
-            if type(self).hits == 3:  # mid-epoch, after 2 applied steps
+            if type(self).hits == 3:  # after 2 applied steps
                 os.kill(os.getpid(), signal.SIGTERM)
             return super().collate(items, common=common)
 
