@@ -42,6 +42,8 @@ def build_engine(batch_chunks: int = 32):
         dim=int(os.environ.get("SOME_BENCH_DIM", 512)))
     config["mel_method"] = os.environ.get("SOME_BENCH_MEL", "rfft")
     config["quantize"] = os.environ.get("SOME_BENCH_QUANT", "none")
+    # int16 (default, lossless for PCM sources) | mulaw8 (1-byte lossy wire)
+    config["transfer_dtype"] = os.environ.get("SOME_BENCH_WIRE", "int16")
     if config["midi_extractor_args"]["dim"] < 128:
         config["midi_extractor_args"]["attention_heads"] = 2
     model = build_midi_extractor(config, dtype=jnp.bfloat16)
@@ -145,16 +147,17 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
         n_frames = len(c["waveform"]) // engine.hop + 1
         groups.setdefault(pick_bucket(n_frames), []).append(
             (c["waveform"], n_frames))
+    from some_tpu.audio.wire import encode_wire, wire_np_dtype, wire_zero
     dev_inputs = []
     for bucket, items in sorted(groups.items()):
         for start in range(0, len(items), engine.max_batch_chunks):
             part = items[start:start + engine.max_batch_chunks]
             n_samples = bucket * engine.hop - 1
-            audio = np.zeros((len(part), n_samples), np.int16)
+            audio = np.full((len(part), n_samples), wire_zero(engine.wire),
+                            dtype=wire_np_dtype(engine.wire))
             mask = np.zeros((len(part), bucket), bool)
             for row, (wave, frames) in enumerate(part):
-                w = np.clip(np.round(wave[:n_samples] * 32768.0),
-                            -32768, 32767).astype(np.int16)
+                w = encode_wire(wave[:n_samples], engine.wire)
                 audio[row, :len(w)] = w
                 mask[row, :frames] = True
             dev_inputs.append((jax.device_put(audio), jax.device_put(mask)))
@@ -243,7 +246,8 @@ def main() -> None:
         forces the whole serial chain on the single device."""
         return np.asarray(out["n_notes"])
 
-    audio_i16 = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+    from some_tpu.audio.wire import encode_wire
+    audio_i16 = encode_wire(audio, engine.wire)
     out = engine.run_bucket(audio_i16, mask)    # warmup / compile
     _force(out)
 

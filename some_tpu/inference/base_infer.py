@@ -88,9 +88,12 @@ class BaseInference:
         # Host->device audio rides as int16 by default: exactly reproduces
         # 16-bit-PCM-sourced float waveforms after the on-device /32768
         # (and halves transfer bytes — the interconnect is the bottleneck at
-        # multi-thousand-x real time). Set transfer_dtype: float32 to ship
-        # floats verbatim (e.g. synthetic float sources needing bit parity).
-        self.transfer_int16 = str(config.get("transfer_dtype", "int16")) == "int16"
+        # multi-thousand-x real time). transfer_dtype: float32 ships floats
+        # verbatim (bit parity for synthetic float sources); mulaw8 is the
+        # opt-in 1-byte lossy wire for bandwidth-starved links (see
+        # some_tpu/audio/wire.py).
+        self.wire = str(config.get("transfer_dtype", "int16"))
+        self.transfer_int16 = self.wire == "int16"
         self.model = self.build_model()
         self.variables = self.load_variables()
         if str(config.get("quantize", "none")) == "int8" \
@@ -191,15 +194,15 @@ class BaseInference:
                 group = bucket_jobs[start:start + self.max_batch_chunks]
                 # largest sample count that still yields exactly `bucket`
                 # frames (n//hop + 1) — no chunk truncation at bucket edges
+                from some_tpu.audio.wire import (
+                    encode_wire, wire_np_dtype, wire_zero)
                 n_samples = bucket * self.hop - 1
-                wire_dtype = np.int16 if self.transfer_int16 else np.float32
                 rows = pick_batch_bucket(len(group), self.max_batch_chunks)
-                audio = np.zeros((rows, n_samples), dtype=wire_dtype)
+                audio = np.full((rows, n_samples), wire_zero(self.wire),
+                                dtype=wire_np_dtype(self.wire))
                 mask = np.zeros((rows, bucket), dtype=bool)
                 for row, job in enumerate(group):
-                    wave = job["wave"][:n_samples]
-                    if self.transfer_int16:
-                        wave = np.clip(np.round(wave * 32768.0), -32768, 32767)
+                    wave = encode_wire(job["wave"][:n_samples], self.wire)
                     audio[row, :len(wave)] = wave
                     mask[row, :job["frames"]] = True
                 pending.append((group, self.run_bucket(audio, mask)))

@@ -65,10 +65,8 @@ class MIDIExtractionInference(BaseInference):
                 "note_rest": ~note_mask, "n_notes": n_notes}
 
     def _device_pipeline(self, variables, audio, mask):
-        if audio.dtype == jnp.int16:
-            # inverse of the host WAV scaling (pcm/32768) — exact for
-            # 16-bit-sourced audio
-            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+        from some_tpu.audio.wire import decode_wire_device
+        audio = decode_wire_device(audio)
         units = self.mel(audio)
         probs, bounds = self._forward(variables, units, mask)
         return self._decode(probs, bounds, mask)

@@ -317,3 +317,56 @@ def test_oversized_chunk_splits_instead_of_crashing(engine):
     np.testing.assert_array_equal(out["note_midi"], ref["note_midi"])
     np.testing.assert_allclose(out["note_dur"], ref["note_dur"])
     np.testing.assert_array_equal(out["note_rest"], ref["note_rest"])
+
+
+def test_mulaw_roundtrip_snr():
+    """mu-law 8-bit wire: ~38 dB SNR on full-scale audio, silence maps to
+    near-zero (the zero code is 128 — a zero-filled buffer would be a -1.0
+    DC plateau)."""
+    import jax.numpy as jnp
+
+    from some_tpu.audio.wire import decode_wire_device, encode_wire, wire_zero
+
+    w = synth(0.5, 440, seed=4)
+    dec = np.asarray(decode_wire_device(jnp.asarray(encode_wire(w, "mulaw8"))))
+    snr = 10 * np.log10(np.mean(w ** 2) / np.mean((dec - w) ** 2))
+    assert snr > 30, snr
+    assert wire_zero("mulaw8") == 128
+    sil = np.asarray(decode_wire_device(jnp.asarray(np.full(64, 128, np.uint8))))
+    assert np.abs(sil).max() < 1e-3
+
+
+def test_mulaw_wire_notes_agree():
+    """The lossy 1-byte wire must not change decoded notes on clean
+    singing-like input (log-mel is log-domain tolerant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    config = dict(TINY_MODEL_CONFIG)
+    model = build_midi_extractor(config, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, 64, 80), np.float32),
+                           mask=np.ones((1, 64), bool))
+    w = synth(1.0, 440, seed=9)
+    eng_mu = MIDIExtractionInference.from_variables(
+        dict(config, transfer_dtype="mulaw8"), variables, dtype=jnp.float32)
+    assert eng_mu.wire == "mulaw8"
+    eng_f32 = MIDIExtractionInference.from_variables(
+        dict(config, transfer_dtype="float32"), variables, dtype=jnp.float32)
+    out_mu = eng_mu.infer([w])[0]
+    out_f32 = eng_f32.infer([w])[0]
+    # random weights put boundary probs near the 0.5 threshold, so a lossy
+    # wire may flip one boundary — note-level F1 is the right bar
+    from some_tpu.utils.note_f1 import note_f1
+    from tests.test_onnx_export import _notes_to_events
+
+    r = _notes_to_events(out_f32["note_midi"], out_f32["note_dur"],
+                         out_f32["note_rest"])
+    p = _notes_to_events(out_mu["note_midi"], out_mu["note_dur"],
+                         out_mu["note_rest"])
+    assert len(r[0]) > 0
+    result = note_f1(r, p, onset_tolerance=0.05, pitch_tolerance=0.5)
+    assert result.f1 >= 0.9, result

@@ -47,7 +47,8 @@ def main():
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
         config = yaml.safe_load(f)
     engine = build_inference(config, model_path)
-    wire = jnp.int16 if engine.transfer_int16 else jnp.float32
+    from some_tpu.audio.wire import wire_np_dtype
+    wire = jnp.dtype(wire_np_dtype(engine.wire))
 
     # default to the engine's canonical bucket tables so warming covers every
     # program production can hit (a hardcoded copy would drift)
