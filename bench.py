@@ -184,8 +184,7 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
         waveform, _ = load_wav(wav_path, sr=sr, mono=True)
         cs = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(waveform)
         for c in cs:
-            np.clip(np.round(c["waveform"] * 32768.0), -32768, 32767
-                    ).astype(np.int16)
+            encode_wire(c["waveform"], engine.wire)
         build_midi_file([c["offset"] for c in cs], segments,
                         tempo=120).save(midi_path)
         host_compute_time = min(host_compute_time, time.perf_counter() - t0)

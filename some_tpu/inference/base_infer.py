@@ -18,6 +18,7 @@ from typing import Dict, List
 import jax
 import numpy as np
 
+from some_tpu.audio.wire import encode_wire, wire_np_dtype, wire_zero
 from some_tpu.nn.model import build_midi_extractor
 from some_tpu.ops.melspec import LogMelSpec
 from some_tpu.registry import TASK_INFERENCE_MAPPING, resolve_class
@@ -94,6 +95,9 @@ class BaseInference:
         # some_tpu/audio/wire.py).
         self.wire = str(config.get("transfer_dtype", "int16"))
         self.transfer_int16 = self.wire == "int16"
+        # frame-bucket table; override per engine to trade pad waste vs
+        # compile count (tests shrink it to exercise oversize splitting)
+        self.frame_buckets = DEFAULT_BUCKETS
         self.model = self.build_model()
         self.variables = self.load_variables()
         if str(config.get("quantize", "none")) == "int8" \
@@ -168,7 +172,7 @@ class BaseInference:
         notes of the same pitch. The torch reference would instead attempt an
         O(T^2)-attention forward over the whole file (base_infer.py:46-53).
         """
-        buckets = getattr(self, "frame_buckets", DEFAULT_BUCKETS)
+        buckets = self.frame_buckets
         max_samples = buckets[-1] * self.hop - 1
         jobs = []
         n_parts = [0] * len(waveforms)
@@ -194,8 +198,6 @@ class BaseInference:
                 group = bucket_jobs[start:start + self.max_batch_chunks]
                 # largest sample count that still yields exactly `bucket`
                 # frames (n//hop + 1) — no chunk truncation at bucket edges
-                from some_tpu.audio.wire import (
-                    encode_wire, wire_np_dtype, wire_zero)
                 n_samples = bucket * self.hop - 1
                 rows = pick_batch_bucket(len(group), self.max_batch_chunks)
                 audio = np.full((rows, n_samples), wire_zero(self.wire),
