@@ -657,3 +657,37 @@ def test_prefetch_loader_matches_synchronous(tiny_dataset, tmp_path):
     sync = run(0, "sync")
     pre = run(2, "prefetch")
     np.testing.assert_array_equal(sync, pre)
+
+
+def test_validation_plots_are_produced(tiny_dataset, tmp_path):
+    """num_valid_plots>0 logs all four reference figure types per validation
+    batch (reference: training/me_task.py:159-196). The trainer swallows
+    plotting exceptions to protect training, so without this test a broken
+    figure would fail silently."""
+    import jax
+
+    from some_tpu.parallel.mesh import make_mesh
+    from some_tpu.training.me_task import MIDIExtractionTask
+    from some_tpu.training.trainer import Trainer
+
+    class Writer:
+        def __init__(self):
+            self.scalars = []
+            self.figures = []
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append(tag)
+
+        def add_figure(self, tag, figure, step):
+            assert figure is not None
+            self.figures.append(tag)
+
+    config = dict(TINY_CONFIG, num_valid_plots=1, val_check_interval=2)
+    config["binary_data_dir"] = str(tiny_dataset)
+    writer = Writer()
+    trainer = Trainer(MIDIExtractionTask(config), tmp_path / "w",
+                      mesh=make_mesh(jax.devices()[:1]), log_writer=writer)
+    trainer.fit(max_steps=2)
+    tags = {t.split("/")[0] for t in writer.figures}
+    assert tags == {"prob", "boundary", "midi", "final"}, writer.figures
+    assert any(t.startswith("validation/") for t in writer.scalars)
