@@ -219,6 +219,15 @@ def main() -> None:
 
     import jax
 
+    # fast liveness probe: the dev tunnel hangs in multi-hour windows, and a
+    # dead device should produce the sentinel in ~3 min, not after the full
+    # bench watchdog
+    probe_watchdog = _watchdog(float(os.environ.get("SOME_BENCH_PROBE_TIMEOUT",
+                                                    180)))
+    import jax.numpy as jnp
+    np.asarray(jnp.sum(jnp.ones((64, 64))))  # force-fetched (lazy backend)
+    probe_watchdog.cancel()
+
     watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
     engine, config = build_engine()
     sr = config["audio_sample_rate"]
