@@ -214,21 +214,71 @@ def _watchdog(seconds: float):
     return timer
 
 
+def _probe_alive(timeout_s: float) -> bool:
+    """One device-liveness probe in a SUBPROCESS (a hung in-process jax call
+    can never be cancelled). Forces bytes back to the host — the lazy axon
+    backend can 'complete' without executing otherwise."""
+    import signal
+    import subprocess
+
+    code = (
+        "import os;"
+        "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
+        "'/tmp/some_tpu_jax_cache');"
+        "import some_tpu;"  # applies SOME_TPU_PLATFORM=cpu when smoke-testing
+        "import numpy, jax.numpy as jnp;"
+        "numpy.asarray(jnp.sum(jnp.ones((64,64))))")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        return proc.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        # SIGTERM first — SIGKILL on a tunnel client leaves stale device
+        # leases (CLAUDE.md); only escalate if it ignores SIGTERM.
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        return False
+
+
+def _wait_for_device(total_budget: float, t_start: float) -> bool:
+    """Probe-retry through tunnel outages (VERDICT r2 Next #1: one 180 s
+    probe against 1-3 h outages recorded a 0.0 round). Keeps probing every
+    ~90 s until only SOME_BENCH_RESERVE seconds of the budget remain — the
+    warm-cache bench itself needs ~5-10 min — then proceeds regardless (the
+    absolute watchdog still converts a truly dead device into the sentinel).
+    Diagnostics go to stderr; stdout stays reserved for the one JSON line."""
+    reserve = float(os.environ.get("SOME_BENCH_RESERVE", 900))
+    deadline = t_start + max(0.0, total_budget - reserve)
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_alive(timeout_s=90):
+            print(f"| probe {attempt}: device alive "
+                  f"(+{time.time() - t_start:.0f}s)", file=sys.stderr,
+                  flush=True)
+            return True
+        now = time.time()
+        print(f"| probe {attempt}: no response (+{now - t_start:.0f}s, "
+              f"deadline +{deadline - t_start:.0f}s)", file=sys.stderr,
+              flush=True)
+        if now >= deadline:
+            return False
+        time.sleep(min(90.0, max(5.0, deadline - time.time())))
+
+
 def main() -> None:
     import os
 
+    t_start = time.time()
+    total_budget = float(os.environ.get("SOME_BENCH_TIMEOUT", 1800))
+    watchdog = _watchdog(total_budget)
+    _wait_for_device(total_budget, t_start)
+
     import jax
-
-    # fast liveness probe: the dev tunnel hangs in multi-hour windows, and a
-    # dead device should produce the sentinel in ~3 min, not after the full
-    # bench watchdog
-    probe_watchdog = _watchdog(float(os.environ.get("SOME_BENCH_PROBE_TIMEOUT",
-                                                    180)))
-    import jax.numpy as jnp
-    np.asarray(jnp.sum(jnp.ones((64, 64))))  # force-fetched (lazy backend)
-    probe_watchdog.cancel()
-
-    watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
     engine, config = build_engine()
     sr = config["audio_sample_rate"]
     # smoke-test knobs (SOME_BENCH_*); production defaults otherwise
