@@ -82,9 +82,13 @@ class MIDIExtractionInference(BaseInference):
             n_dev = self.mesh.devices.size
             pad = (-len(audio)) % n_dev
             if pad:  # all-False mask rows decode to zero notes and are
-                # never read back (infer() indexes only real rows)
-                audio = np.concatenate([audio, np.zeros(
-                    (pad, audio.shape[1]), audio.dtype)])
+                # never read back (infer() indexes only real rows); pad with
+                # the wire's zero code — a raw 0x00 byte is full-scale -1.0
+                # under mulaw8, which would feed a pathological DC signal
+                # through the mel/conformer (ADVICE r2)
+                from some_tpu.audio.wire import wire_zero
+                audio = np.concatenate([audio, np.full(
+                    (pad, audio.shape[1]), wire_zero(self.wire), audio.dtype)])
                 frame_mask = np.concatenate([frame_mask, np.zeros(
                     (pad, frame_mask.shape[1]), bool)])
             shard = NamedSharding(self.mesh, P("data"))

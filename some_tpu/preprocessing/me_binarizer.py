@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import csv
 import json
+import math
 import pathlib
 import random
 from typing import List
@@ -222,12 +223,21 @@ class MIDIExtractionBinarizer(BaseBinarizer):
         if shift_range is None:
             return items
         lo, hi = shift_range
+        if self.round_midi:
+            # integer bounds, like the quant binarizer: round(draw) could
+            # otherwise land 0.5 outside the clamped range (e.g. lo=-3.6,
+            # draw -3.51 rounds to -4) — the silent label-range escape the
+            # clamp exists to prevent (ADVICE r2)
+            lo_i, hi_i = math.ceil(lo), math.floor(hi)
+            if lo_i > hi_i:  # float range contains no integer shift
+                return items
         for _ in range(self.key_shift_factor):
             assert self.config["units_encoder"] == "mel", \
                 "Units encoder must be mel if augmentation is applied!"
-            shift = rng.random() * (hi - lo) + lo
             if self.round_midi:
-                shift = round(shift)
+                shift = rng.randint(lo_i, hi_i)
+            else:
+                shift = rng.random() * (hi - lo) + lo
             aug = dict(base)
             aug["units"] = self.compute_units(waveform, keyshift=shift)
             aug["pitch"] = base["pitch"] + shift

@@ -282,10 +282,13 @@ class Trainer:
         # anywhere inside the loop body, so the except handler derives
         # epoch_batch from state.step (the authoritative applied-step count)
         # instead of trusting a host counter that may be one batch ahead of
-        # or behind the in-flight train_step
-        epoch_start_micro = micro_step
-        epoch_start_skip = skip
-        profile_extra_steps = 0  # profile branch re-steps a consumed batch
+        # or behind the in-flight train_step. The per-epoch bookkeeping
+        # (epoch, start_micro, start_skip, profile_extra_steps) lives in ONE
+        # tuple updated by single stores: a signal-raised KeyboardInterrupt
+        # lands between bytecodes, so multi-variable resets could pair a new
+        # epoch with the previous epoch's counters (ADVICE r2) — one STORE
+        # cannot be observed half-done.
+        anchor = (epoch, micro_step, skip, 0)
         t_last = time.time()
         # TPU pod preemptions deliver SIGTERM (the reference only survives
         # Ctrl-C, train.py:98 via Lightning); route it through the same
@@ -305,10 +308,8 @@ class Trainer:
             pass
         try:
             while micro_step < target:
+                epoch = anchor[0]
                 epoch_batch = 0
-                epoch_start_micro = micro_step
-                epoch_start_skip = skip
-                profile_extra_steps = 0  # per-epoch (see except handler)
                 epoch_iter = self._epoch_batches(
                     sampler, epoch, train_ds, train_sizes)
                 # consume the resume-skip BEFORE the prefetcher so skipped
@@ -350,7 +351,8 @@ class Trainer:
                             state, logs = train_step(state, batch)
                             jax.block_until_ready(logs)
                         micro_step += 1
-                        profile_extra_steps += 1  # same batch stepped twice
+                        # same batch stepped twice; single atomic store
+                        anchor = anchor[:3] + (anchor[3] + 1,)
                         step = micro_step // k
                     if micro_step % (self.log_interval * k) == 0:
                         scalars = {k: float(v) for k, v in logs.items()}
@@ -377,8 +379,11 @@ class Trainer:
                     # stopped the iterator mid-epoch (keep the exact
                     # (epoch, epoch_batch) position for the checkpoint meta)
                     if not hit_target:
-                        epoch += 1
                         epoch_batch = 0
+                        # epoch advance + counter reset in one store (see
+                        # `anchor` comment above): an interrupt here can
+                        # observe either epoch's anchor, both consistent
+                        anchor = (epoch + 1, micro_step, skip, 0)
                     continue
                 break
         except KeyboardInterrupt:
@@ -387,13 +392,12 @@ class Trainer:
             # gradient never applied is not skipped on resume (and one that
             # did apply is not replayed): batches consumed this epoch =
             # batches skipped on entry + micro-steps actually applied.
+            a_epoch, a_micro, a_skip, a_extra = anchor  # consistent snapshot
             applied = int(state.step)  # materializes the dispatched chain
             step = applied // k
-            epoch_batch = ((epoch_start_skip - skip)
-                           + (applied - epoch_start_micro)
-                           - profile_extra_steps)
+            epoch_batch = (a_skip - skip) + (applied - a_micro) - a_extra
             log.warning("interrupted at step %d; saving checkpoint", step)
-            self._save_ckpt(step, state, epoch, epoch_batch)
+            self._save_ckpt(step, state, a_epoch, epoch_batch)
             raise
         finally:
             if handler_installed:
@@ -408,7 +412,7 @@ class Trainer:
         final_step = int(state.step) // k
         if latest_checkpoint(self.work_dir) is None or \
                 final_step > self.ckpt_manager_last_saved_step():
-            self._save_ckpt(final_step, state, epoch, epoch_batch)
+            self._save_ckpt(final_step, state, anchor[0], epoch_batch)
         return state
 
     def _save_ckpt(self, step: int, state: TrainState, epoch: int,

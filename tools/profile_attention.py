@@ -95,10 +95,10 @@ def main():
             os.environ.pop(k, None)
 
     import sys as _sys
-    configs = [("flash", 32, 512, 1024),   # current default
+    configs = [("flash", 32, 1024, 1024),  # current default (SOME_FLASH_BQ=1024)
                ("splash", 32, 512, 1024),
                ("splash", 32, 1024, 1024),
-               ("flash", 32, 1024, 1024)]
+               ("flash", 32, 512, 1024)]
     if len(_sys.argv) > 1:  # extra sweep points: impl:B:bq:bk ...
         configs = []
         for spec in _sys.argv[1:]:
