@@ -167,10 +167,10 @@ class BaseInference:
 
         Chunks longer than the largest frame bucket (~6.3 min — audio whose
         noise floor never crosses the slicer threshold arrives as one chunk)
-        are hard-split at the bucket boundary and their note lists
-        concatenated; a note sounding across a seam decodes as two abutting
-        notes of the same pitch. The torch reference would instead attempt an
-        O(T^2)-attention forward over the whole file (base_infer.py:46-53).
+        are hard-split at the bucket boundary and reassembled via
+        merge_parts(), which joins the note sounding across each seam back
+        into one note (parity with the reference's single O(T^2)-attention
+        forward over the whole file, base_infer.py:46-53).
         """
         buckets = self.frame_buckets
         max_samples = buckets[-1] * self.hop - 1
@@ -214,9 +214,13 @@ class BaseInference:
             for row, job in enumerate(group):
                 parts[job["idx"]][job["part"]] = self.assemble(
                     {k: v[row] for k, v in out.items()}, job["frames"])
-        return [p[0] if len(p) == 1 else
-                {k: np.concatenate([d[k] for d in p]) for k in p[0]}
-                for p in parts]
+        return [p[0] if len(p) == 1 else self.merge_parts(p) for p in parts]
+
+    def merge_parts(self, parts: List[Dict[str, np.ndarray]]
+                    ) -> Dict[str, np.ndarray]:
+        """Reassemble one oversize chunk from its bucket-boundary splits.
+        Default: plain concatenation; subclasses repair seam artifacts."""
+        return {k: np.concatenate([d[k] for d in parts]) for k in parts[0]}
 
 
 def build_inference(config: dict, model_path: pathlib.Path | str, **kwargs

@@ -308,15 +308,72 @@ def test_oversized_chunk_splits_instead_of_crashing(engine):
     expect = (len(wav) // hop + 3) * hop / sr  # + rounding slack per part
     assert abs(total - expect) < 0.1, (total, expect)
 
-    # equality with an explicit pre-split at the same boundary
+    # equality with an explicit pre-split at the same boundary, reassembled
+    # through the same seam-merge the engine applies
     max_samples = 128 * hop - 1
     ref_parts = eng.infer(
         [wav[:max_samples], wav[max_samples:2 * max_samples],
          wav[2 * max_samples:]])
-    ref = {k: np.concatenate([p[k] for p in ref_parts]) for k in ref_parts[0]}
+    ref = eng.merge_parts(ref_parts)
     np.testing.assert_array_equal(out["note_midi"], ref["note_midi"])
     np.testing.assert_allclose(out["note_dur"], ref["note_dur"])
     np.testing.assert_array_equal(out["note_rest"], ref["note_rest"])
+    # seam repair: strictly fewer (or equal) notes than plain concatenation
+    n_concat = sum(len(p["note_dur"]) for p in ref_parts)
+    assert len(out["note_dur"]) <= n_concat
+
+
+def test_seam_merge_semantics(engine):
+    """merge_parts joins the note spanning a bucket seam exactly like the
+    reference's single whole-file forward would decode it
+    (reference: inference/base_infer.py:46-53): voiced+voiced within
+    tolerance -> one duration-weighted note; rest+rest -> one rest;
+    mismatched pitches stay split."""
+    def part(midi, dur, rest):
+        return {"note_midi": np.asarray(midi, np.float32),
+                "note_dur": np.asarray(dur, np.float64),
+                "note_rest": np.asarray(rest, bool)}
+
+    # voiced seam pair within tolerance: duration-weighted pitch
+    a = part([60.0, 69.8], [1.0, 3.0], [True, False])
+    b = part([70.2, 72.0], [1.0, 0.5], [False, True])
+    m = engine.merge_parts([a, b])
+    assert len(m["note_dur"]) == 3
+    np.testing.assert_allclose(m["note_midi"][1], (69.8 * 3 + 70.2 * 1) / 4)
+    np.testing.assert_allclose(m["note_dur"][1], 4.0)
+    assert list(m["note_rest"]) == [True, False, True]
+    # total duration is always preserved
+    np.testing.assert_allclose(m["note_dur"].sum(),
+                               a["note_dur"].sum() + b["note_dur"].sum())
+
+    # rest + rest seam: one rest
+    a = part([60.0, 0.0], [1.0, 0.5], [False, True])
+    b = part([0.0, 62.0], [0.25, 2.0], [True, False])
+    m = engine.merge_parts([a, b])
+    assert len(m["note_dur"]) == 3
+    np.testing.assert_allclose(m["note_dur"][1], 0.75)
+    assert list(m["note_rest"]) == [False, True, False]
+
+    # pitch gap beyond tolerance: stays two notes
+    a = part([60.0], [1.0], [False])
+    b = part([61.0], [1.0], [False])
+    m = engine.merge_parts([a, b])
+    assert len(m["note_dur"]) == 2
+
+    # voiced/rest boundary: no join
+    a = part([60.0], [1.0], [False])
+    b = part([0.0], [1.0], [True])
+    m = engine.merge_parts([a, b])
+    assert len(m["note_dur"]) == 2
+
+    # empty parts fold away; three-part chaining merges both seams
+    e = part([], [], [])
+    a = part([60.0], [1.0], [False])
+    b = part([60.1], [1.0], [False])
+    c = part([59.9], [1.0], [False])
+    m = engine.merge_parts([a, e, b, c])
+    assert len(m["note_dur"]) == 1
+    np.testing.assert_allclose(m["note_dur"][0], 3.0)
 
 
 def test_mulaw_roundtrip_snr():
