@@ -134,22 +134,24 @@ class BucketBatchSampler:
 
 
 class EvalBatchSampler:
-    """Validation sampler: rank 0 gets all batches, other ranks a dummy batch
-    (reference: utils/training_utils.py:147-177)."""
+    """Validation sampler: the full deterministic batch list, identical on
+    every process. Multi-process validation is data-replicated — each process
+    builds this same list and feeds its device shard, so the jitted
+    collective step never deadlocks. (The reference instead gives rank 0 all
+    batches and other ranks a dummy batch, utils/training_utils.py:147-177 —
+    same liveness, wasted compute; that mode was dropped here in round 3
+    because nothing selected it.)"""
 
     def __init__(self, sizes: np.ndarray, max_batch_frames: int, max_batch_size: int,
-                 rank: int = 0, batch_by_size: bool = False):
-        if rank == 0:
-            indices = list(range(len(sizes)))
-            if batch_by_size:
-                self.batches = batch_by_frame_budget(
-                    indices, lambda i: sizes[i],
-                    max_batch_frames=max_batch_frames, max_batch_size=max_batch_size)
-            else:
-                self.batches = [indices[i:i + max_batch_size]
-                                for i in range(0, len(indices), max_batch_size)]
+                 batch_by_size: bool = False):
+        indices = list(range(len(sizes)))
+        if batch_by_size:
+            self.batches = batch_by_frame_budget(
+                indices, lambda i: sizes[i],
+                max_batch_frames=max_batch_frames, max_batch_size=max_batch_size)
         else:
-            self.batches = [[0]]
+            self.batches = [indices[i:i + max_batch_size]
+                            for i in range(0, len(indices), max_batch_size)]
 
     def __iter__(self):
         return iter(self.batches)

@@ -95,3 +95,31 @@ def durations_to_alignment(durs_sec: np.ndarray, length: int, timestep: float
         fill = idx[-1] if len(idx) else 0
         idx = np.concatenate([idx, np.full(length - len(idx), fill, dtype=idx.dtype)])
     return idx[:length].astype(np.int64)
+
+
+def sinusoidal_smoothing(curve: np.ndarray, kernel_size: int) -> np.ndarray:
+    """Half-sine FIR smoother for framewise curves (f0 etc.).
+
+    Host-plane equivalent of the reference's ``SinusoidalSmoothingConv1d``
+    (reference: utils/binarizer_utils.py:125-140 — defined but unused
+    upstream; provided for parity): a 'same' cross-correlation with the
+    fixed kernel sin(linspace(0, 1, K) * pi) normalized to sum 1, under
+    replicate (edge) padding. The kernel is symmetric, so np.convolve's
+    flip is a no-op; torch pads even kernels with the extra sample on the
+    right, reproduced here.
+    """
+    curve = np.asarray(curve, dtype=np.float32)
+    if curve.ndim != 1:
+        raise ValueError(f"expected a 1-D curve, got shape {curve.shape}")
+    if kernel_size < 1:
+        raise ValueError("kernel_size must be >= 1")
+    if kernel_size == 1 or len(curve) == 0:
+        return curve.copy()
+    kernel = np.sin(np.linspace(0, 1, kernel_size, dtype=np.float32) * np.pi)
+    kernel /= kernel.sum()
+    left = (kernel_size - 1) // 2
+    right = kernel_size - 1 - left
+    padded = np.concatenate([
+        np.full(left, curve[0], dtype=np.float32), curve,
+        np.full(right, curve[-1], dtype=np.float32)])
+    return np.convolve(padded, kernel, mode="valid").astype(np.float32)

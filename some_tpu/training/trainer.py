@@ -241,15 +241,14 @@ class Trainer:
             sort_by_similar_size=config.get("sort_by_len", True),
             shuffle=True, seed=config["seed"])
         # Multi-process validation is data-replicated: every process builds
-        # the same rank-0 batch list from the shared-FS dataset and feeds its
+        # the same batch list from the shared-FS dataset and feeds its
         # device shard, so the jitted collective step never deadlocks (the
         # reference instead feeds non-zero ranks dummy batches,
         # utils/training_utils.py:158-171 — same liveness, wasted compute).
         val_sampler = EvalBatchSampler(
             sizes=valid_sizes,
             max_batch_frames=config.get("max_val_batch_frames", 10000),
-            max_batch_size=config.get("max_val_batch_size", 1),
-            rank=0)
+            max_batch_size=config.get("max_val_batch_size", 1))
 
         train_step = self.task.make_train_step(self.mesh)
         self.task.make_valid_step(self.mesh)

@@ -123,3 +123,52 @@ class TestConfig:
             f"base_config:\n  - {tmp_path}/base.yaml\na: 2\nnested:\n  y: 3\n")
         cfg = read_full_config(tmp_path / "child.yaml")
         assert cfg == {"a": 2, "nested": {"x": 1, "y": 3}}
+
+
+class TestSinusoidalSmoothing:
+    """Torch-oracle parity for the half-sine FIR smoother
+    (reference: utils/binarizer_utils.py:125-140)."""
+
+    def _oracle(self, curve, kernel_size):
+        import torch
+
+        conv = torch.nn.Conv1d(1, 1, kernel_size, bias=False,
+                               padding="same", padding_mode="replicate")
+        k = torch.sin(torch.from_numpy(
+            np.linspace(0, 1, kernel_size).astype(np.float32) * np.pi))
+        k /= k.sum()
+        conv.weight.data = k[None, None]
+        with torch.no_grad():
+            out = conv(torch.from_numpy(curve)[None, None])
+        return out[0, 0].numpy()
+
+    def test_matches_torch_oracle(self):
+        from some_tpu.preprocessing.label_utils import sinusoidal_smoothing
+
+        rng = np.random.default_rng(7)
+        curve = (rng.standard_normal(200) * 50 + 300).astype(np.float32)
+        for kernel_size in (3, 5, 7, 15):  # torch 'same' requires odd K
+            got = sinusoidal_smoothing(curve, kernel_size)
+            want = self._oracle(curve, kernel_size)
+            np.testing.assert_allclose(got, want, atol=2e-4), kernel_size
+
+    def test_preserves_constant_and_mean(self):
+        from some_tpu.preprocessing.label_utils import sinusoidal_smoothing
+
+        const = np.full(64, 440.0, np.float32)
+        np.testing.assert_allclose(sinusoidal_smoothing(const, 9), const,
+                                   rtol=1e-6)
+        # kernel sums to 1: interior mean is preserved
+        rng = np.random.default_rng(1)
+        curve = rng.standard_normal(512).astype(np.float32)
+        sm = sinusoidal_smoothing(curve, 9)
+        np.testing.assert_allclose(sm[8:-8].mean(), curve[4:-4].mean(),
+                                   atol=2e-2)
+
+    def test_degenerate_inputs(self):
+        from some_tpu.preprocessing.label_utils import sinusoidal_smoothing
+
+        np.testing.assert_array_equal(
+            sinusoidal_smoothing(np.asarray([1.0, 2.0], np.float32), 1),
+            np.asarray([1.0, 2.0], np.float32))
+        assert sinusoidal_smoothing(np.zeros(0, np.float32), 5).size == 0
