@@ -284,11 +284,18 @@ class MaskedBatchNorm(nn.Module):
                 mean = (xf * w).sum(axis=(0, 1)) / count
                 var = (((xf - mean) ** 2) * w).sum(axis=(0, 1)) / count
             else:
+                count = jnp.asarray(xf.shape[0] * xf.shape[1], jnp.float32)
                 mean = xf.mean(axis=(0, 1))
                 var = xf.var(axis=(0, 1))
             if not self.is_initializing():
+                # torch BatchNorm stores the UNBIASED variance in its running
+                # stats (Bessel-corrected update) while normalizing with the
+                # biased one; mirror that so checkpoints trained here eval
+                # identically after conversion to torch/ONNX.
+                var_unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var_unbiased)
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias
 
