@@ -134,8 +134,19 @@ class BaseInference:
         return variables
 
     # subclasses implement the jitted device pipeline and host assembly
-    def run_bucket(self, audio: np.ndarray, frame_mask: np.ndarray) -> dict:
+    def stage_inputs(self, audio: np.ndarray, frame_mask: np.ndarray):
+        """Host arrays -> device arrays (async device_put, mesh sharding);
+        no compute dispatched. Split from run_bucket so infer() can stream:
+        a worker thread stages group N+1's wire transfer while the main
+        thread's dispatch of group N computes (VERDICT r2 Next #8)."""
         raise NotImplementedError
+
+    def run_bucket_staged(self, audio_dev, frame_mask_dev) -> dict:
+        """Dispatch the jitted pipeline on already-staged device inputs."""
+        raise NotImplementedError
+
+    def run_bucket(self, audio: np.ndarray, frame_mask: np.ndarray) -> dict:
+        return self.run_bucket_staged(*self.stage_inputs(audio, frame_mask))
 
     def _log_bucket_path(self, n_frames: int) -> None:
         """Print which attention path a bucket compiles to, once per bucket
@@ -190,9 +201,9 @@ class BaseInference:
         for job in jobs:
             by_bucket.setdefault(job["bucket"], []).append(job)
 
-        pending = []
         for bucket in sorted(by_bucket):
             self._log_bucket_path(bucket)
+        groups_np = []
         for bucket, bucket_jobs in sorted(by_bucket.items()):
             for start in range(0, len(bucket_jobs), self.max_batch_chunks):
                 group = bucket_jobs[start:start + self.max_batch_chunks]
@@ -207,7 +218,25 @@ class BaseInference:
                     wave = encode_wire(job["wave"][:n_samples], self.wire)
                     audio[row, :len(wave)] = wave
                     mask[row, :job["frames"]] = True
-                pending.append((group, self.run_bucket(audio, mask)))
+                groups_np.append((group, audio, mask))
+
+        if len(groups_np) <= 1:
+            pending = [(group, self.run_bucket(audio, mask))
+                       for group, audio, mask in groups_np]
+        else:
+            # streamed dispatch: the staging worker pushes group N+1's wire
+            # transfer while the main thread's dispatch of group N computes —
+            # on a slow host link device_put blocks the calling thread for
+            # the full wire time, which used to serialize transfer with
+            # compute (VERDICT r2 Next #8)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                staged = [pool.submit(self.stage_inputs, audio, mask)
+                          for _, audio, mask in groups_np]
+                pending = [
+                    (group, self.run_bucket_staged(*fut.result()))
+                    for (group, _, _), fut in zip(groups_np, staged)]
 
         for group, out in pending:
             out = {k: np.asarray(v) for k, v in out.items()}

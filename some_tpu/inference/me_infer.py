@@ -76,7 +76,7 @@ class MIDIExtractionInference(BaseInference):
         probs, bounds = self._forward(variables, units, mask)
         return self._decode(probs, bounds, mask)
 
-    def run_bucket(self, audio: np.ndarray, frame_mask: np.ndarray) -> dict:
+    def stage_inputs(self, audio: np.ndarray, frame_mask: np.ndarray):
         # Explicit async device_put: passing numpy straight into jit funnels
         # the 10s-of-MB audio through a slow synchronous arg-serialization
         # path (measured ~20x slower than device_put on the TPU tunnel) and
@@ -102,7 +102,11 @@ class MIDIExtractionInference(BaseInference):
         else:
             audio = jax.device_put(audio)
             frame_mask = jax.device_put(frame_mask)
-        return self._pipeline(self._device_variables, audio, frame_mask)
+        return audio, frame_mask
+
+    def run_bucket_staged(self, audio_dev, frame_mask_dev) -> dict:
+        return self._pipeline(self._device_variables, audio_dev,
+                              frame_mask_dev)
 
     def assemble(self, device_out: dict, n_frames: int) -> Dict[str, np.ndarray]:
         n = int(device_out["n_notes"])
