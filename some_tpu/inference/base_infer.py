@@ -220,7 +220,9 @@ class BaseInference:
                     mask[row, :job["frames"]] = True
                 groups_np.append((group, audio, mask))
 
-        if len(groups_np) <= 1:
+        import os
+        if len(groups_np) <= 1 or \
+                os.environ.get("SOME_TPU_STREAM_GROUPS", "1") != "1":
             pending = [(group, self.run_bucket(audio, mask))
                        for group, audio, mask in groups_np]
         else:
