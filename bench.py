@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import pathlib
 import sys
 import time
 
@@ -195,17 +196,29 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
             stream_rtf)
 
 
+LAST_VALID_PATH = pathlib.Path(__file__).parent / "bench_last_valid.json"
+
+
 def _watchdog(seconds: float):
     """The dev TPU tunnel can hang indefinitely; emit a sentinel result and
-    hard-exit rather than stalling the harness."""
+    hard-exit rather than stalling the harness. The sentinel embeds the last
+    VALID capture from this machine (clearly labeled, with its timestamp) so
+    a tunnel outage at capture time doesn't erase all performance context —
+    the 0.0 value itself stays honest."""
     import threading
 
     def fire():
-        print(json.dumps({
+        sentinel = {
             "metric": "inference_rtf_x_realtime", "value": 0.0,
             "unit": f"TIMEOUT after {seconds}s — TPU backend unresponsive",
             "vs_baseline": 0.0,
-        }), flush=True)
+        }
+        try:
+            sentinel["last_valid_capture"] = json.loads(
+                LAST_VALID_PATH.read_text())
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(sentinel), flush=True)
         os._exit(3)
 
     timer = threading.Timer(seconds, fire)
@@ -341,7 +354,7 @@ def main() -> None:
 
     watchdog.cancel()
     args = config["midi_extractor_args"]
-    print(json.dumps({
+    result = {
         "metric": "inference_rtf_x_realtime",
         "value": round(rtf, 1),
         "unit": (f"audio-sec/sec (full wav->notes pipeline incl. host->device "
@@ -356,7 +369,16 @@ def main() -> None:
         # host CODE is responsible for (decode+slice+quantize+SMF write)
         "file_host_fraction": round(host_fraction, 3),
         "file_host_compute_fraction": round(host_compute_fraction, 3),
-    }))
+    }
+    try:  # feed the sentinel's last-valid context for future outages —
+        # real-TPU captures only (a CPU smoke run is not perf context)
+        if jax.devices()[0].platform == "tpu":
+            LAST_VALID_PATH.write_text(json.dumps(
+                dict(result, captured_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))))
+    except OSError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
