@@ -1,0 +1,242 @@
+"""Production batch-serving HTTP API: wav in, MIDI (or JSON notes) out.
+
+Goes beyond the reference's interactive webui (reference: webui.py — one
+request at a time through gradio): a dispatcher thread MICRO-BATCHES chunks
+across concurrent requests into the bucketed static-shape engine, so many
+small requests ride one XLA dispatch per bucket instead of one per caller.
+This is the TPU-idiomatic serving shape: the engine's per-bucket programs
+are already batched; the server just keeps their rows full.
+
+Endpoints
+  POST /transcribe?tempo=120[&format=json]   body: WAV bytes
+       -> audio/midi SMF bytes (or JSON note arrays with format=json)
+  GET  /healthz  -> {"status": "ok", "queue_depth": N}
+  GET  /stats    -> cumulative counts, audio seconds, wall seconds, RTF
+
+Stdlib-only (http.server), same as the webui fallback: no extra deps.
+"""
+from __future__ import annotations
+
+import io
+import json
+import pathlib
+import queue
+import threading
+import time
+from typing import List, Optional
+
+import click
+import numpy as np
+
+MAX_DURATION_SEC = 20 * 60  # reference cap (webui.py:43-44)
+
+
+class TranscribeJob:
+    __slots__ = ("chunks", "offsets", "tempo", "done", "segments", "error")
+
+    def __init__(self, chunks, offsets, tempo):
+        self.chunks = chunks          # list of waveforms (one per slice)
+        self.offsets = offsets
+        self.tempo = tempo
+        self.done = threading.Event()
+        self.segments = None
+        self.error: Optional[str] = None
+
+
+class BatchingDispatcher:
+    """Single consumer thread: drains queued jobs, concatenates their chunk
+    lists into ONE engine.infer call (the engine groups chunks by frame
+    bucket and batches rows), then splits results back per job."""
+
+    def __init__(self, engine, max_wait_ms: float = 25.0,
+                 max_chunks_per_batch: Optional[int] = None):
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1000.0
+        self.max_chunks = max_chunks_per_batch or 4 * engine.max_batch_chunks
+        self.jobs: "queue.Queue[TranscribeJob]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "audio_seconds": 0.0,
+                      "device_seconds": 0.0, "max_jobs_per_batch": 0}
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, job: TranscribeJob) -> None:
+        self.jobs.put(job)
+
+    def queue_depth(self) -> int:
+        return self.jobs.qsize()
+
+    def _drain(self) -> List[TranscribeJob]:
+        batch = [self.jobs.get()]  # block for the first job
+        deadline = time.monotonic() + self.max_wait
+        n_chunks = len(batch[0].chunks)
+        while n_chunks < self.max_chunks:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                job = self.jobs.get(timeout=timeout)
+            except queue.Empty:
+                break
+            batch.append(job)
+            n_chunks += len(job.chunks)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._drain()
+            waveforms = [w for job in batch for w in job.chunks]
+            t0 = time.monotonic()
+            try:
+                all_segments = self.engine.infer(waveforms)
+            except Exception as exc:  # surface to every caller in the batch
+                for job in batch:
+                    job.error = f"{type(exc).__name__}: {exc}"
+                    job.done.set()
+                continue
+            elapsed = time.monotonic() - t0
+            pos = 0
+            for job in batch:
+                job.segments = all_segments[pos:pos + len(job.chunks)]
+                pos += len(job.chunks)
+                job.done.set()
+            with self._lock:
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["device_seconds"] += elapsed
+                self.stats["max_jobs_per_batch"] = max(
+                    self.stats["max_jobs_per_batch"], len(batch))
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            stats = dict(self.stats)
+        stats["rtf"] = (stats["audio_seconds"] / stats["device_seconds"]
+                        if stats["device_seconds"] else 0.0)
+        return stats
+
+    def add_audio_seconds(self, seconds: float) -> None:
+        with self._lock:
+            self.stats["audio_seconds"] += seconds
+
+
+def _segments_to_json(job: TranscribeJob) -> dict:
+    out = []
+    for offset, seg in zip(job.offsets, job.segments):
+        out.append({
+            "offset_sec": float(offset),
+            "note_midi": np.asarray(seg["note_midi"], float).tolist(),
+            "note_dur_sec": np.asarray(seg["note_dur"], float).tolist(),
+            "note_rest": np.asarray(seg["note_rest"], bool).tolist(),
+        })
+    return {"segments": out, "tempo": job.tempo}
+
+
+def make_server(engine, config: dict, addr: str, port: int,
+                max_wait_ms: float = 25.0):
+    """Build (but do not start) the HTTP server; returns (httpd, dispatcher).
+    Split from serve() so tests can drive it in-process."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from some_tpu.audio.slicer import SilenceSlicer
+    from some_tpu.audio.wavio import load_wav
+    from some_tpu.utils.midi_file import build_midi_file
+
+    dispatcher = BatchingDispatcher(engine, max_wait_ms=max_wait_ms)
+    sr = config["audio_sample_rate"]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._reply_json(200, {
+                    "status": "ok", "queue_depth": dispatcher.queue_depth()})
+            elif self.path.startswith("/stats"):
+                self._reply_json(200, dispatcher.snapshot())
+            else:
+                self._reply_json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if not self.path.startswith("/transcribe"):
+                self._reply_json(404, {"error": "unknown path"})
+                return
+            from urllib.parse import parse_qs, urlparse
+            params = parse_qs(urlparse(self.path).query)
+            tempo = float(params.get("tempo", ["120"])[0])
+            as_json = params.get("format", [""])[0] == "json"
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                waveform, _ = load_wav(io.BytesIO(body), sr=sr, mono=True)
+            except Exception:
+                self._reply_json(400, {"error": "unsupported or corrupt wav"})
+                return
+            duration = len(waveform) / sr
+            if duration > MAX_DURATION_SEC:
+                self._reply_json(413, {"error": "audio longer than 20 min"})
+                return
+            chunk_dicts = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(waveform)
+            job = TranscribeJob([c["waveform"] for c in chunk_dicts],
+                                [c["offset"] for c in chunk_dicts], tempo)
+            dispatcher.add_audio_seconds(duration)
+            dispatcher.submit(job)
+            job.done.wait()
+            if job.error is not None:
+                self._reply_json(500, {"error": job.error})
+            elif as_json:
+                self._reply_json(200, _segments_to_json(job))
+            else:
+                midi = build_midi_file(job.offsets, job.segments, tempo=tempo)
+                self._reply(200, midi.serialize(), "audio/midi")
+
+    httpd = ThreadingHTTPServer((addr, port), Handler)
+    return httpd, dispatcher
+
+
+@click.command(help="Batch-serving HTTP API: POST wav to /transcribe.")
+@click.option("--model", required=True,
+              type=click.Path(exists=True, dir_okay=False),
+              help="Path to the checkpoint (config.yaml alongside).")
+@click.option("--port", required=False, type=int, default=8572)
+@click.option("--addr", required=False, default="0.0.0.0")
+@click.option("--devices", required=False, type=int, default=1,
+              help="Data-parallel serving over the first N devices.")
+@click.option("--max-wait-ms", required=False, type=float, default=25.0,
+              help="Micro-batching window: how long the dispatcher waits "
+                   "to fill a batch after the first request arrives.")
+@click.option("--max-batch-chunks", required=False, type=int, default=32)
+def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks):
+    import yaml
+
+    from some_tpu.inference.base_infer import build_inference
+
+    model_path = pathlib.Path(model)
+    with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
+        config = yaml.safe_load(f)
+    kwargs = {"max_batch_chunks": max_batch_chunks}
+    if devices > 1:
+        import jax
+
+        from some_tpu.parallel.mesh import make_mesh
+        kwargs["mesh"] = make_mesh(jax.devices()[:devices])
+    engine = build_inference(config, model_path, **kwargs)
+    httpd, _ = make_server(engine, config, addr, port,
+                           max_wait_ms=max_wait_ms)
+    print(f"| serving on http://{addr}:{port} "
+          f"(POST /transcribe, GET /healthz, /stats)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    serve()

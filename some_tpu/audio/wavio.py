@@ -31,8 +31,9 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 def load_wav(path: pathlib.Path | str, sr: int | None = None,
              mono: bool = True) -> tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 waveform in [-1, 1], sample_rate)."""
-    file_sr, data = wavfile.read(str(path))
+    """Read a WAV file or file-like object -> (float32 waveform in [-1, 1],
+    sample_rate)."""
+    file_sr, data = wavfile.read(path if hasattr(path, "read") else str(path))
     if data.dtype in _PCM_SCALE:
         scale = _PCM_SCALE[data.dtype]
         if data.dtype == np.dtype(np.uint8):

@@ -82,17 +82,20 @@ class MidiFile:
         out += bytes([0x00, 0xFF, 0x2F, 0x00])  # end of track
         return bytes(out)
 
-    def save(self, path: pathlib.Path | str) -> None:
+    def serialize(self) -> bytes:
+        """The complete SMF byte stream (format 1, one track)."""
         track = self._track_bytes()
+        return b"".join([
+            b"MThd", (6).to_bytes(4, "big"),
+            (1).to_bytes(2, "big"),                             # format 1
+            (1).to_bytes(2, "big"),                             # one track
+            self.ticks_per_beat.to_bytes(2, "big"),
+            b"MTrk", len(track).to_bytes(4, "big"), track,
+        ])
+
+    def save(self, path: pathlib.Path | str) -> None:
         with open(path, "wb") as f:
-            f.write(b"MThd")
-            f.write((6).to_bytes(4, "big"))
-            f.write((1).to_bytes(2, "big"))                     # format 1
-            f.write((1).to_bytes(2, "big"))                     # one track
-            f.write(self.ticks_per_beat.to_bytes(2, "big"))
-            f.write(b"MTrk")
-            f.write(len(track).to_bytes(4, "big"))
-            f.write(track)
+            f.write(self.serialize())
 
     @classmethod
     def load(cls, path: pathlib.Path | str) -> "MidiFile":

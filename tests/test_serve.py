@@ -1,0 +1,152 @@
+"""Batch-serving HTTP API: wav in -> MIDI out, micro-batched across
+concurrent requests (serve.py; beyond the reference's one-at-a-time webui)."""
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.test_inference import TINY_MODEL_CONFIG, synth
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jax
+    import jax.numpy as jnp
+
+    from serve import make_server
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    config = dict(TINY_MODEL_CONFIG, transfer_dtype="float32")
+    model = build_midi_extractor(config)
+    variables = model.init(jax.random.PRNGKey(7),
+                           np.zeros((1, 64, 80), np.float32),
+                           mask=np.ones((1, 64), bool))
+    engine = MIDIExtractionInference.from_variables(
+        config, variables, dtype=jnp.float32)
+    httpd, dispatcher = make_server(engine, config, "127.0.0.1", 0,
+                                    max_wait_ms=60.0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", engine, config, dispatcher
+    httpd.shutdown()
+
+
+def _wav_bytes(wave, sr):
+    from some_tpu.audio.wavio import save_wav
+    import pathlib
+    import tempfile
+
+    path = pathlib.Path(tempfile.mkdtemp()) / "req.wav"
+    save_wav(path, wave, sr)
+    return path.read_bytes()
+
+
+def _post(url, body, timeout=300):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_healthz_and_stats(server):
+    base, *_ = server
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    with urllib.request.urlopen(base + "/stats", timeout=60) as resp:
+        stats = json.loads(resp.read())
+    assert {"requests", "batches", "rtf"} <= set(stats)
+
+
+def test_transcribe_matches_direct_engine(server, tmp_path):
+    """The served MIDI must be byte-identical to driving the engine +
+    assembler directly on the same audio."""
+    base, engine, config, _ = server
+    sr = config["audio_sample_rate"]
+    wave = np.concatenate([synth(1.2, 440.0, seed=5),
+                           np.zeros(sr, np.float32),
+                           synth(1.0, 523.25, seed=6)])
+    body = _wav_bytes(wave, sr)
+
+    status, ctype, midi_bytes = _post(base + "/transcribe?tempo=120", body)
+    assert status == 200 and ctype == "audio/midi"
+    assert midi_bytes[:4] == b"MThd"
+
+    from some_tpu.audio.slicer import SilenceSlicer
+    from some_tpu.audio.wavio import load_wav
+    from some_tpu.utils.midi_file import build_midi_file
+
+    loaded, _ = load_wav(io.BytesIO(body), sr=sr, mono=True)
+    chunks = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(loaded)
+    segments = engine.infer([c["waveform"] for c in chunks])
+    want = build_midi_file([c["offset"] for c in chunks], segments,
+                           tempo=120).serialize()
+    assert midi_bytes == want
+
+
+def test_transcribe_json_format(server):
+    base, _, config, _ = server
+    sr = config["audio_sample_rate"]
+    body = _wav_bytes(synth(0.8, 330.0, seed=9), sr)
+    status, ctype, payload = _post(
+        base + "/transcribe?tempo=90&format=json", body)
+    assert status == 200 and ctype == "application/json"
+    data = json.loads(payload)
+    assert data["tempo"] == 90.0
+    assert len(data["segments"]) >= 1
+    seg = data["segments"][0]
+    assert len(seg["note_midi"]) == len(seg["note_dur_sec"]) \
+        == len(seg["note_rest"])
+
+
+def test_concurrent_requests_batch_and_agree(server):
+    """Concurrent callers are micro-batched (the dispatcher sees >1 job in
+    one drain) and each still gets exactly its own song's notes."""
+    base, engine, config, dispatcher = server
+    sr = config["audio_sample_rate"]
+    waves = [synth(0.9, 300 + 60 * i, seed=20 + i) for i in range(4)]
+    bodies = [_wav_bytes(w, sr) for w in waves]
+    results = [None] * 4
+
+    def call(i):
+        results[i] = _post(base + "/transcribe?tempo=120", bodies[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    from some_tpu.utils.midi_file import build_midi_file
+
+    from some_tpu.audio.slicer import SilenceSlicer
+    from some_tpu.audio.wavio import load_wav
+
+    for i, (status, ctype, midi_bytes) in enumerate(results):
+        assert status == 200, i
+        loaded, _ = load_wav(io.BytesIO(bodies[i]), sr=sr, mono=True)
+        chunks = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(loaded)
+        segments = engine.infer([c["waveform"] for c in chunks])
+        want = build_midi_file([c["offset"] for c in chunks], segments,
+                               tempo=120).serialize()
+        assert midi_bytes == want, f"caller {i} got someone else's notes"
+
+    # batching actually happened at least once across the suite (60 ms
+    # window, 4 concurrent posts — the dispatcher drains >= 2 jobs together)
+    assert dispatcher.snapshot()["max_jobs_per_batch"] >= 2
+
+
+def test_bad_wav_is_400(server):
+    base, *_ = server
+    req = urllib.request.Request(base + "/transcribe?tempo=120",
+                                 data=b"definitely not a wav", method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+        assert b"corrupt" in err.read()
