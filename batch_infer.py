@@ -30,12 +30,11 @@ def calc_seq(note_midi: float, note_rest: bool) -> str:
 
 def infer_song(wav_path, engine, config) -> List[dict]:
     """One wav -> absolute-time note list (reference: batch_infer.py:49-81)."""
-    from some_tpu.audio.slicer import SilenceSlicer
     from some_tpu.audio.wavio import load_wav
+    from some_tpu.inference.pipeline import slice_waveform
 
     waveform, _ = load_wav(wav_path, sr=config["audio_sample_rate"], mono=True)
-    slicer = SilenceSlicer(sr=config["audio_sample_rate"], max_sil_kept=1000)
-    chunks = slicer.slice(waveform)
+    chunks = slice_waveform(waveform, config["audio_sample_rate"])
     segments = engine.infer([c["waveform"] for c in chunks])
 
     res: List[dict] = []

@@ -27,11 +27,10 @@ import yaml
               help="Data-parallel serving over N local devices (bucket "
               "batches shard over a mesh; 1 = single device)")
 def infer(model, wav, midi, tempo, quantize, devices):
-    from some_tpu.audio.slicer import SilenceSlicer
     from some_tpu.audio.wavio import load_wav
     from some_tpu.config import print_config
     from some_tpu.inference.base_infer import build_inference
-    from some_tpu.utils.midi_file import build_midi_file
+    from some_tpu.inference.pipeline import transcribe_waveform
 
     model_path = pathlib.Path(model)
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
@@ -49,11 +48,8 @@ def infer(model, wav, midi, tempo, quantize, devices):
 
     wav_path = pathlib.Path(wav)
     waveform, _ = load_wav(wav_path, sr=config["audio_sample_rate"], mono=True)
-    slicer = SilenceSlicer(sr=config["audio_sample_rate"], max_sil_kept=1000)
-    chunks = slicer.slice(waveform)
-    segments = engine.infer([c["waveform"] for c in chunks])
-
-    midi_file = build_midi_file([c["offset"] for c in chunks], segments, tempo=tempo)
+    midi_file = transcribe_waveform(engine, waveform,
+                                    config["audio_sample_rate"], tempo=tempo)
     midi_path = pathlib.Path(midi) if midi is not None else wav_path.with_suffix(".mid")
     midi_file.save(midi_path)
     print(f"MIDI file saved at: '{midi_path}'")

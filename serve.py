@@ -10,7 +10,7 @@ are already batched; the server just keeps their rows full.
 Endpoints
   POST /transcribe?tempo=120[&format=json]   body: WAV bytes
        -> audio/midi SMF bytes (or JSON note arrays with format=json)
-  GET  /healthz  -> {"status": "ok", "queue_depth": N}
+  GET  /healthz  -> {"status": "ok"|"stalled", "queue_depth": N, ...}
   GET  /stats    -> cumulative counts, audio seconds, wall seconds, RTF
 
 Stdlib-only (http.server), same as the webui fallback: no extra deps.
@@ -26,18 +26,20 @@ import time
 from typing import List, Optional
 
 import click
-import numpy as np
 
-MAX_DURATION_SEC = 20 * 60  # reference cap (webui.py:43-44)
+from some_tpu.inference.pipeline import (MAX_DURATION_SEC, segments_to_json,
+                                         slice_waveform)
 
 
 class TranscribeJob:
-    __slots__ = ("chunks", "offsets", "tempo", "done", "segments", "error")
+    __slots__ = ("chunks", "offsets", "tempo", "audio_seconds", "done",
+                 "segments", "error")
 
-    def __init__(self, chunks, offsets, tempo):
+    def __init__(self, chunks, offsets, tempo, audio_seconds=0.0):
         self.chunks = chunks          # list of waveforms (one per slice)
         self.offsets = offsets
         self.tempo = tempo
+        self.audio_seconds = audio_seconds
         self.done = threading.Event()
         self.segments = None
         self.error: Optional[str] = None
@@ -54,9 +56,11 @@ class BatchingDispatcher:
         self.max_wait = max_wait_ms / 1000.0
         self.max_chunks = max_chunks_per_batch or 4 * engine.max_batch_chunks
         self.jobs: "queue.Queue[TranscribeJob]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "audio_seconds": 0.0,
-                      "device_seconds": 0.0, "max_jobs_per_batch": 0}
+        self.stats = {"requests": 0, "failed_requests": 0, "batches": 0,
+                      "audio_seconds": 0.0, "device_seconds": 0.0,
+                      "max_jobs_per_batch": 0}
         self._lock = threading.Lock()
+        self._busy_since: Optional[float] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -65,6 +69,15 @@ class BatchingDispatcher:
 
     def queue_depth(self) -> int:
         return self.jobs.qsize()
+
+    def busy_seconds(self) -> float:
+        """How long the current engine.infer call has been running (0 when
+        idle). The liveness signal for /healthz: the axon-style tunnel can
+        hang a device call indefinitely, and a hung dispatcher must not keep
+        reporting a healthy service."""
+        with self._lock:
+            return 0.0 if self._busy_since is None \
+                else time.monotonic() - self._busy_since
 
     def _drain(self) -> List[TranscribeJob]:
         batch = [self.jobs.get()]  # block for the first job
@@ -87,9 +100,14 @@ class BatchingDispatcher:
             batch = self._drain()
             waveforms = [w for job in batch for w in job.chunks]
             t0 = time.monotonic()
+            with self._lock:
+                self._busy_since = t0
             try:
                 all_segments = self.engine.infer(waveforms)
             except Exception as exc:  # surface to every caller in the batch
+                with self._lock:
+                    self._busy_since = None
+                    self.stats["failed_requests"] += len(batch)
                 for job in batch:
                     job.error = f"{type(exc).__name__}: {exc}"
                     job.done.set()
@@ -101,9 +119,15 @@ class BatchingDispatcher:
                 pos += len(job.chunks)
                 job.done.set()
             with self._lock:
+                self._busy_since = None
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1
                 self.stats["device_seconds"] += elapsed
+                # only completed work counts toward throughput: failed jobs
+                # contributing audio_seconds would inflate RTF exactly when
+                # the service is broken
+                self.stats["audio_seconds"] += sum(
+                    job.audio_seconds for job in batch)
                 self.stats["max_jobs_per_batch"] = max(
                     self.stats["max_jobs_per_batch"], len(batch))
 
@@ -114,30 +138,13 @@ class BatchingDispatcher:
                         if stats["device_seconds"] else 0.0)
         return stats
 
-    def add_audio_seconds(self, seconds: float) -> None:
-        with self._lock:
-            self.stats["audio_seconds"] += seconds
-
-
-def _segments_to_json(job: TranscribeJob) -> dict:
-    out = []
-    for offset, seg in zip(job.offsets, job.segments):
-        out.append({
-            "offset_sec": float(offset),
-            "note_midi": np.asarray(seg["note_midi"], float).tolist(),
-            "note_dur_sec": np.asarray(seg["note_dur"], float).tolist(),
-            "note_rest": np.asarray(seg["note_rest"], bool).tolist(),
-        })
-    return {"segments": out, "tempo": job.tempo}
-
 
 def make_server(engine, config: dict, addr: str, port: int,
-                max_wait_ms: float = 25.0):
+                max_wait_ms: float = 25.0, infer_timeout_s: float = 600.0):
     """Build (but do not start) the HTTP server; returns (httpd, dispatcher).
     Split from serve() so tests can drive it in-process."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from some_tpu.audio.slicer import SilenceSlicer
     from some_tpu.audio.wavio import load_wav
     from some_tpu.utils.midi_file import build_midi_file
 
@@ -160,8 +167,12 @@ def make_server(engine, config: dict, addr: str, port: int,
 
         def do_GET(self):
             if self.path.startswith("/healthz"):
-                self._reply_json(200, {
-                    "status": "ok", "queue_depth": dispatcher.queue_depth()})
+                busy = dispatcher.busy_seconds()
+                stalled = busy > infer_timeout_s
+                self._reply_json(503 if stalled else 200, {
+                    "status": "stalled" if stalled else "ok",
+                    "queue_depth": dispatcher.queue_depth(),
+                    "busy_seconds": round(busy, 1)})
             elif self.path.startswith("/stats"):
                 self._reply_json(200, dispatcher.snapshot())
             else:
@@ -173,9 +184,20 @@ def make_server(engine, config: dict, addr: str, port: int,
                 return
             from urllib.parse import parse_qs, urlparse
             params = parse_qs(urlparse(self.path).query)
-            tempo = float(params.get("tempo", ["120"])[0])
+            try:
+                tempo = float(params.get("tempo", ["120"])[0])
+                if not (0 < tempo < 10000):
+                    raise ValueError
+            except ValueError:
+                self._reply_json(400, {"error": "tempo must be a positive "
+                                                "number"})
+                return
             as_json = params.get("format", [""])[0] == "json"
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._reply_json(400, {"error": "bad Content-Length"})
+                return
             body = self.rfile.read(length)
             try:
                 waveform, _ = load_wav(io.BytesIO(body), sr=sr, mono=True)
@@ -186,16 +208,22 @@ def make_server(engine, config: dict, addr: str, port: int,
             if duration > MAX_DURATION_SEC:
                 self._reply_json(413, {"error": "audio longer than 20 min"})
                 return
-            chunk_dicts = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(waveform)
+            chunk_dicts = slice_waveform(waveform, sr)
             job = TranscribeJob([c["waveform"] for c in chunk_dicts],
-                                [c["offset"] for c in chunk_dicts], tempo)
-            dispatcher.add_audio_seconds(duration)
+                                [c["offset"] for c in chunk_dicts], tempo,
+                                audio_seconds=duration)
             dispatcher.submit(job)
-            job.done.wait()
+            if not job.done.wait(timeout=infer_timeout_s):
+                # a hung device call holds the dispatcher thread forever;
+                # tell the caller instead of hanging the connection with it
+                self._reply_json(503, {"error": "inference backend stalled"})
+                return
             if job.error is not None:
                 self._reply_json(500, {"error": job.error})
             elif as_json:
-                self._reply_json(200, _segments_to_json(job))
+                self._reply_json(
+                    200, segments_to_json(job.offsets, job.segments,
+                                          job.tempo))
             else:
                 midi = build_midi_file(job.offsets, job.segments, tempo=tempo)
                 self._reply(200, midi.serialize(), "audio/midi")
@@ -216,7 +244,11 @@ def make_server(engine, config: dict, addr: str, port: int,
               help="Micro-batching window: how long the dispatcher waits "
                    "to fill a batch after the first request arrives.")
 @click.option("--max-batch-chunks", required=False, type=int, default=32)
-def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks):
+@click.option("--infer-timeout-s", required=False, type=float, default=600.0,
+              help="Per-request wait on the device pipeline before replying "
+                   "503; also the /healthz stall threshold.")
+def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
+          infer_timeout_s):
     import yaml
 
     from some_tpu.inference.base_infer import build_inference
@@ -232,7 +264,8 @@ def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks):
         kwargs["mesh"] = make_mesh(jax.devices()[:devices])
     engine = build_inference(config, model_path, **kwargs)
     httpd, _ = make_server(engine, config, addr, port,
-                           max_wait_ms=max_wait_ms)
+                           max_wait_ms=max_wait_ms,
+                           infer_timeout_s=infer_timeout_s)
     print(f"| serving on http://{addr}:{port} "
           f"(POST /transcribe, GET /healthz, /stats)")
     httpd.serve_forever()

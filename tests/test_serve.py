@@ -150,3 +150,102 @@ def test_bad_wav_is_400(server):
     except urllib.error.HTTPError as err:
         assert err.code == 400
         assert b"corrupt" in err.read()
+
+
+@pytest.mark.parametrize("tempo", ["0", "-5", "abc", "nan"])
+def test_bad_tempo_is_400(server, tempo):
+    """Invalid tempo values must produce a clean 400, not an unhandled
+    ZeroDivisionError/ValueError that drops the connection."""
+    base, _, config, _ = server
+    body = _wav_bytes(synth(0.3, 440.0, seed=1), config["audio_sample_rate"])
+    req = urllib.request.Request(base + f"/transcribe?tempo={tempo}",
+                                 data=body, method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+        assert b"tempo" in err.read()
+
+
+def test_stalled_backend_times_out_not_hangs():
+    """A hung device call (the axon tunnel's documented failure mode) must
+    turn into a 503 for the caller and a 'stalled' /healthz — not an
+    indefinitely blocked connection behind a lying health check."""
+    from serve import make_server
+
+    release = threading.Event()
+
+    class HangingEngine:
+        max_batch_chunks = 8
+
+        def infer(self, waveforms):
+            release.wait(timeout=30)
+            return [{"note_midi": np.zeros(0), "note_dur": np.zeros(0),
+                     "note_rest": np.zeros(0, bool)} for _ in waveforms]
+
+    config = dict(TINY_MODEL_CONFIG)
+    httpd, dispatcher = make_server(HangingEngine(), config, "127.0.0.1", 0,
+                                    max_wait_ms=1.0, infer_timeout_s=0.5)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = _wav_bytes(synth(0.3, 440.0, seed=2),
+                          config["audio_sample_rate"])
+        req = urllib.request.Request(base + "/transcribe", data=body,
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+            assert b"stalled" in err.read()
+        # the dispatcher is still inside the hung infer -> healthz degrades
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=60)
+            assert False, "expected HTTP 503 from /healthz"
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+            health = json.loads(err.read())
+        assert health["status"] == "stalled"
+        assert health["busy_seconds"] > 0
+    finally:
+        release.set()
+        httpd.shutdown()
+
+
+def test_failed_jobs_do_not_inflate_rtf():
+    """audio_seconds only counts COMPLETED work: a failing backend must not
+    report healthy throughput while returning 500s."""
+    from serve import make_server
+
+    class FailingEngine:
+        max_batch_chunks = 8
+
+        def infer(self, waveforms):
+            raise RuntimeError("device on fire")
+
+    config = dict(TINY_MODEL_CONFIG)
+    httpd, dispatcher = make_server(FailingEngine(), config, "127.0.0.1", 0,
+                                    max_wait_ms=1.0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = _wav_bytes(synth(0.4, 440.0, seed=3),
+                          config["audio_sample_rate"])
+        req = urllib.request.Request(base + "/transcribe", data=body,
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as err:
+            assert err.code == 500
+        stats = dispatcher.snapshot()
+        assert stats["failed_requests"] == 1
+        assert stats["audio_seconds"] == 0.0 and stats["rtf"] == 0.0
+    finally:
+        httpd.shutdown()

@@ -17,7 +17,6 @@ import click
 _work_dir: pathlib.Path = None
 _devices: int = 1
 _engines: Dict[str, Tuple[object, dict]] = {}
-MAX_DURATION_SEC = 20 * 60  # reference cap (webui.py:43-44)
 
 
 def _get_engine(model_rel_path: str):
@@ -42,9 +41,9 @@ def _get_engine(model_rel_path: str):
 
 def transcribe(model_rel_path: str, audio_path: str, tempo: float):
     """Shared handler: returns (midi_path | None, status message)."""
-    from some_tpu.audio.slicer import SilenceSlicer
     from some_tpu.audio.wavio import load_wav
-    from some_tpu.utils.midi_file import build_midi_file
+    from some_tpu.inference.pipeline import (MAX_DURATION_SEC,
+                                             transcribe_waveform)
 
     if not model_rel_path or not audio_path or tempo is None:
         return None, "Error: required inputs not specified."
@@ -58,13 +57,12 @@ def transcribe(model_rel_path: str, audio_path: str, tempo: float):
         return None, "Error: the input audio is too long (>= 20 minutes)."
 
     start = time.time()
-    chunks = SilenceSlicer(sr=config["audio_sample_rate"], max_sil_kept=1000).slice(waveform)
-    segments = engine.infer([c["waveform"] for c in chunks])
+    midi_file = transcribe_waveform(engine, waveform,
+                                    config["audio_sample_rate"], tempo=tempo)
     infer_time = time.time() - start
     rtf = infer_time / max(total_duration, 1e-9)
     print(f"RTF: {rtf}")
 
-    midi_file = build_midi_file([c["offset"] for c in chunks], segments, tempo=tempo)
     out_path = pathlib.Path(audio_path).with_suffix(".mid")
     midi_file.save(out_path)
     return out_path, f"Cost {round(infer_time, 2)} s, RTF: {round(rtf, 3)}"
