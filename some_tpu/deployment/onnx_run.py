@@ -80,7 +80,10 @@ def _tensor(buf: bytes) -> np.ndarray:
         arr = np.asarray([v - (1 << 64) if v >= (1 << 63) else v
                           for v in int64_data], dtype=np.int64).astype(dtype)
     elif int32_data:
-        arr = np.asarray([v - (1 << 32) if v >= (1 << 31) else v
+        # negative int32s are sign-extended to 64-bit varints per the
+        # protobuf spec; tolerate non-conformant 32-bit encoders too
+        arr = np.asarray([v - (1 << 64) if v >= (1 << 63) else
+                          v - (1 << 32) if v >= (1 << 31) else v
                           for v in int32_data], dtype=np.int64).astype(dtype)
     else:
         arr = np.zeros(0, dtype=dtype)

@@ -308,3 +308,44 @@ class TestSerializedGraphExecutes:
                                mask=np.ones((1, 64), bool))
         wav = synth(1.0, freq=330.0, seed=4)
         self._export_and_compare(config, variables, tmp_path, wav)
+
+
+def test_tensor_decoder_negative_varints():
+    """Negative int32/int64 initializers arrive as 64-bit sign-extended
+    varints (protobuf spec); the decoder must not overflow np.int64 on the
+    int32 path. Builds the TensorProto bytes by hand — independent of any
+    torch exporter."""
+    from some_tpu.deployment.onnx_run import _tensor
+
+    def varint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def field(num, wire, payload):
+        return varint((num << 3) | wire) + payload
+
+    def tensor_proto(dims, data_type, field_num, values):
+        buf = b"".join(field(1, 0, varint(d)) for d in dims)
+        buf += field(2, 0, varint(data_type))
+        packed = b"".join(varint(v & ((1 << 64) - 1)) for v in values)
+        buf += field(field_num, 2, varint(len(packed)) + packed)
+        return buf
+
+    # data_type 6 = INT32, stored in int32_data (field 5)
+    arr = _tensor(tensor_proto([4], 6, 5, [-1, -2147483648, 0, 7]))
+    np.testing.assert_array_equal(arr, np.array([-1, -2147483648, 0, 7],
+                                                np.int32))
+    # data_type 7 = INT64, stored in int64_data (field 7)
+    arr = _tensor(tensor_proto([3], 7, 7, [-5, 0, 1 << 40]))
+    np.testing.assert_array_equal(arr, np.array([-5, 0, 1 << 40], np.int64))
+    # non-conformant 32-bit encoder: value in [2^31, 2^32) still maps to
+    # the negative int32 it denotes
+    arr = _tensor(tensor_proto([1], 6, 5, [(1 << 32) - 3]))
+    np.testing.assert_array_equal(arr, np.array([-3], np.int32))
