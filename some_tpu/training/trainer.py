@@ -344,14 +344,18 @@ class Trainer:
                     if progress is not None:
                         progress.update(1)
                     if profile_dir and step == self.log_interval:
-                        # one traced step early in the run, post-compilation
+                        # one traced step early in the run, post-compilation.
+                        # Count the extra step BEFORE dispatching it: an
+                        # interrupt inside the window then at worst replays
+                        # the doubled batch (its re-application lands after
+                        # resume instead of during tracing — benign), never
+                        # skips a batch that was never trained.
+                        anchor = anchor[:3] + (anchor[3] + 1,)
                         from some_tpu.utils.profiling import trace
                         with trace(profile_dir):
                             state, logs = train_step(state, batch)
                             jax.block_until_ready(logs)
                         micro_step += 1
-                        # same batch stepped twice; single atomic store
-                        anchor = anchor[:3] + (anchor[3] + 1,)
                         step = micro_step // k
                     if micro_step % (self.log_interval * k) == 0:
                         scalars = {k: float(v) for k, v in logs.items()}
