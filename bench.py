@@ -235,7 +235,11 @@ def _probe_alive(timeout_s: float) -> bool:
     import subprocess
 
     code = (
-        "import os;"
+        "import os, sys;"
+        # the child resolves imports via its own cwd, not the parent's
+        # script dir — anchor the repo root explicitly so `python
+        # /root/repo/bench.py` works from any directory
+        f"sys.path.insert(0, {str(pathlib.Path(__file__).parent)!r});"
         "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
         "'/tmp/some_tpu_jax_cache');"
         "import some_tpu;"  # applies SOME_TPU_PLATFORM=cpu when smoke-testing
@@ -247,13 +251,15 @@ def _probe_alive(timeout_s: float) -> bool:
     try:
         return proc.wait(timeout=timeout_s) == 0
     except subprocess.TimeoutExpired:
-        # SIGTERM first — SIGKILL on a tunnel client leaves stale device
-        # leases (CLAUDE.md); only escalate if it ignores SIGTERM.
+        # SIGTERM only — SIGKILL on a tunnel client leaves stale device
+        # leases (CLAUDE.md). A probe that ignores SIGTERM is hung INSIDE
+        # the tunnel RPC; abandon it (daemonless child, exits with the
+        # bench process) rather than poisoning the device with kill -9.
         proc.send_signal(signal.SIGTERM)
         try:
             proc.wait(timeout=15)
         except subprocess.TimeoutExpired:
-            proc.kill()
+            pass
         return False
 
 
