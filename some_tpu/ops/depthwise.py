@@ -70,9 +70,15 @@ def _pallas_depthwise_strided(x: jnp.ndarray, w: jnp.ndarray,
 
 def _xla_depthwise(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     C = x.shape[-1]
+    # Precision.HIGHEST: XLA's DEFAULT on TPU truncates f32 conv operands to
+    # bf16 on the MXU (~6e-3 relative error), while the Pallas kernel does
+    # true f32 VPU FMAs — the two paths must agree (and a k=31 depthwise conv
+    # is bandwidth-bound, so exact f32 costs nothing). bf16 model dtype is
+    # unaffected.
     return jax.lax.conv_general_dilated(
         x, w[:, None, :], window_strides=(1,), padding="SAME",
-        feature_group_count=C, dimension_numbers=("NWC", "WIO", "NWC"))
+        feature_group_count=C, dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _choose_block_t(T: int) -> int:

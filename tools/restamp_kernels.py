@@ -58,19 +58,28 @@ def main() -> int:
                 f"max|d|={real.max():.2e} ({'OK' if ok else 'FAIL'} "
                 f"tol {tol:g})")
 
-    # 2. depthwise pallas vs XLA (bit-identity expected in f32)
+    # 2. depthwise pallas vs XLA. bf16: both paths round identically ->
+    # bit-identity expected (the original on-chip claim). f32: the Pallas
+    # kernel accumulates sequentially, XLA's HIGHEST-precision conv may
+    # associate differently -> a few f32 ulps, NOT zero. (XLA's DEFAULT
+    # precision truncates f32 conv operands to bf16 on the MXU — the ~6e-3
+    # "failure" the 2026-08-17 run caught; _xla_depthwise now pins HIGHEST.)
     from some_tpu.ops.depthwise import depthwise_conv1d
     for T, C, K in ((1024, 512, 31), (512, 256, 31)):
-        x = jnp.asarray(rng.standard_normal((2, T, C)), jnp.float32)
-        w = jnp.asarray(rng.standard_normal((K, C)) * 0.1, jnp.float32)
-        ref = np.asarray(depthwise_conv1d(x, w, impl="xla"))
-        out = np.asarray(depthwise_conv1d(x, w, impl="pallas"))
-        diff = np.abs(out - ref).max()
-        ok = diff == 0.0
-        failures += not ok
-        lines.append(f"  depthwise pallas vs xla T={T} C={C} k={K}: "
-                     f"max|d|={diff:.2e} "
-                     f"({'bit-identical OK' if ok else 'FAIL'})")
+        for dtype, tol in ((jnp.bfloat16, 0.0), (jnp.float32, 5e-6)):
+            x = jnp.asarray(rng.standard_normal((2, T, C)), dtype)
+            w = jnp.asarray(rng.standard_normal((K, C)) * 0.1, dtype)
+            ref = np.asarray(depthwise_conv1d(x, w, impl="xla"), np.float32)
+            out = np.asarray(depthwise_conv1d(x, w, impl="pallas"),
+                             np.float32)
+            diff = np.abs(out - ref).max()
+            ok = diff <= tol
+            failures += not ok
+            label = "bit-identical OK" if ok and tol == 0.0 else \
+                ("OK" if ok else "FAIL")
+            lines.append(f"  depthwise pallas vs xla T={T} C={C} k={K} "
+                         f"{np.dtype(dtype).name}: max|d|={diff:.2e} "
+                         f"({label} tol {tol:g})")
 
     # 3. fused LN->FFN->residual kernel vs reference math
     from some_tpu.ops.fused_ffn import fused_ln_ffn_residual
