@@ -22,6 +22,98 @@ def rms_envelope(y: np.ndarray, frame_length: int = 2048, hop_length: int = 512)
     return np.sqrt(power)
 
 
+class _SliceScanner:
+    """Incremental form of the silence-tag scan (python twin of the native
+    C++ scan; reference semantics: utils/slicer2.py:59-121).
+
+    Every split decision at frame i reads only rms[0..i], so the exact
+    offline algorithm runs frame-by-frame: `feed` returns the (start, end)
+    silence tags decided so far, `finish` applies the trailing-silence rule.
+    This is what makes live streaming possible — StreamingTranscriber
+    (some_tpu/inference/streaming.py) drives the same scanner the offline
+    slicer uses, guaranteeing identical chunk boundaries.
+    """
+
+    def __init__(self, threshold: float, min_interval: int, min_length: int,
+                 max_sil_kept: int):
+        self.threshold = threshold
+        self.min_interval = min_interval
+        self.min_length = min_length
+        self.max_sil_kept = max_sil_kept
+        self._rms: list = []
+        self._silence_start = None
+        self._clip_start = 0
+        self._i = 0
+
+    @property
+    def n_frames(self) -> int:
+        return self._i
+
+    def _amin(self, a: int, b: int) -> int:
+        """argmin of rms[a:b] as an absolute frame index."""
+        seg = self._rms[a:b]
+        return a + int(np.argmin(seg))
+
+    def _step(self, level: float):
+        """Process one RMS frame; returns a (start, end) tag or None."""
+        i = self._i
+        self._rms.append(float(level))
+        self._i = i + 1
+        if level < self.threshold:
+            if self._silence_start is None:
+                self._silence_start = i
+            return None
+        if self._silence_start is None:
+            return None
+        # A silent stretch [silence_start, i) just ended at a loud frame.
+        ss = self._silence_start
+        msk = self.max_sil_kept
+        is_leading_silence = ss == 0 and i > msk
+        need_slice_middle = (i - ss >= self.min_interval
+                             and i - self._clip_start >= self.min_length)
+        if not is_leading_silence and not need_slice_middle:
+            self._silence_start = None
+            return None
+        if i - ss <= msk:
+            pos = self._amin(ss, i + 1)
+            tag = (0, pos) if ss == 0 else (pos, pos)
+            self._clip_start = pos
+        elif i - ss <= msk * 2:
+            pos = self._amin(i - msk, ss + msk + 1)
+            pos_l = self._amin(ss, ss + msk + 1)
+            pos_r = self._amin(i - msk, i + 1)
+            if ss == 0:
+                tag = (0, pos_r)
+                self._clip_start = pos_r
+            else:
+                tag = (min(pos_l, pos), max(pos_r, pos))
+                self._clip_start = max(pos_r, pos)
+        else:
+            pos_l = self._amin(ss, ss + msk + 1)
+            pos_r = self._amin(i - msk, i + 1)
+            tag = (0, pos_r) if ss == 0 else (pos_l, pos_r)
+            self._clip_start = pos_r
+        self._silence_start = None
+        return tag
+
+    def feed(self, levels) -> list:
+        tags = []
+        for level in levels:
+            tag = self._step(level)
+            if tag is not None:
+                tags.append(tag)
+        return tags
+
+    def finish(self) -> list:
+        total_frames = self._i
+        ss = self._silence_start
+        if ss is not None and total_frames - ss >= self.min_interval:
+            silence_end = min(total_frames, ss + self.max_sil_kept)
+            pos = self._amin(ss, silence_end + 1)
+            return [(pos, total_frames + 1)]
+        return []
+
+
 class SilenceSlicer:
     def __init__(self, sr: int, threshold: float = -40.0, min_length: int = 5000,
                  min_interval: int = 300, hop_size: int = 20, max_sil_kept: int = 5000):
@@ -69,51 +161,11 @@ class SilenceSlicer:
         return self._apply_tags(waveform, tags, rms.shape[0])
 
     def _scan_python(self, rms: np.ndarray) -> list:
-        sil_tags: list = []
-        silence_start = None
-        clip_start = 0
-        for i, level in enumerate(rms):
-            if level < self.threshold:
-                if silence_start is None:
-                    silence_start = i
-                continue
-            if silence_start is None:
-                continue
-            # A silent stretch [silence_start, i) just ended at a loud frame.
-            is_leading_silence = silence_start == 0 and i > self.max_sil_kept
-            need_slice_middle = (i - silence_start >= self.min_interval
-                                 and i - clip_start >= self.min_length)
-            if not is_leading_silence and not need_slice_middle:
-                silence_start = None
-                continue
-            if i - silence_start <= self.max_sil_kept:
-                pos = rms[silence_start:i + 1].argmin() + silence_start
-                sil_tags.append((0, pos) if silence_start == 0 else (pos, pos))
-                clip_start = pos
-            elif i - silence_start <= self.max_sil_kept * 2:
-                pos = rms[i - self.max_sil_kept:silence_start + self.max_sil_kept + 1].argmin()
-                pos += i - self.max_sil_kept
-                pos_l = rms[silence_start:silence_start + self.max_sil_kept + 1].argmin() + silence_start
-                pos_r = rms[i - self.max_sil_kept:i + 1].argmin() + i - self.max_sil_kept
-                if silence_start == 0:
-                    sil_tags.append((0, pos_r))
-                    clip_start = pos_r
-                else:
-                    sil_tags.append((min(pos_l, pos), max(pos_r, pos)))
-                    clip_start = max(pos_r, pos)
-            else:
-                pos_l = rms[silence_start:silence_start + self.max_sil_kept + 1].argmin() + silence_start
-                pos_r = rms[i - self.max_sil_kept:i + 1].argmin() + i - self.max_sil_kept
-                sil_tags.append((0, pos_r) if silence_start == 0 else (pos_l, pos_r))
-                clip_start = pos_r
-            silence_start = None
-
-        total_frames = rms.shape[0]
-        if silence_start is not None and total_frames - silence_start >= self.min_interval:
-            silence_end = min(total_frames, silence_start + self.max_sil_kept)
-            pos = rms[silence_start:silence_end + 1].argmin() + silence_start
-            sil_tags.append((pos, total_frames + 1))
-        return sil_tags
+        scanner = _SliceScanner(self.threshold, self.min_interval,
+                                self.min_length, self.max_sil_kept)
+        tags = scanner.feed(rms)
+        tags.extend(scanner.finish())
+        return tags
 
     def _apply_tags(self, waveform: np.ndarray, sil_tags: list,
                     total_frames: int) -> list:
