@@ -164,7 +164,9 @@ class BaseInference:
             head_dim = self.config.get("midi_extractor_args", {}).get(
                 "attention_heads_dim", 64)
             impl = "flash" if can_use_flash(n_frames, head_dim) else "xla"
-        print(f"| bucket T={n_frames}: attention={impl}")
+        import sys
+        # stderr: stdout belongs to the surfaces' own output (stream.py NDJSON)
+        print(f"| bucket T={n_frames}: attention={impl}", file=sys.stderr)
 
     def assemble(self, device_out: dict, n_frames: int) -> Dict[str, np.ndarray]:
         raise NotImplementedError

@@ -1,0 +1,95 @@
+"""Live transcription CLI: raw PCM on stdin -> NDJSON note events on stdout.
+
+The streaming front-end for the TPU engine (some_tpu/inference/streaming.py)
+as a unix pipeline stage — a capability the reference does not have (its
+pipeline is file-at-a-time, reference: infer.py:33-47). Example:
+
+    ffmpeg -i mic.wav -f s16le -ac 1 -ar 44100 - | \
+        python stream.py --model experiments/model.ckpt
+
+Each completed phrase prints one JSON line the moment the silence scan
+decides the phrase is over:
+
+    {"offset_sec": 12.48, "note_midi": [...], "note_dur_sec": [...],
+     "note_rest": [...]}
+
+With --midi PATH, the accumulated song is also written as an SMF file at
+end-of-stream.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+import click
+import numpy as np
+
+
+def _event_line(event) -> str:
+    seg = event["segment"]
+    return json.dumps({
+        "offset_sec": float(event["offset"]),
+        "note_midi": np.asarray(seg["note_midi"], float).tolist(),
+        "note_dur_sec": np.asarray(seg["note_dur"], float).tolist(),
+        "note_rest": np.asarray(seg["note_rest"], bool).tolist(),
+    })
+
+
+@click.command(help="Stream raw mono PCM from stdin; print note events as "
+                    "NDJSON the moment each phrase completes.")
+@click.option("--model", required=True,
+              type=click.Path(exists=True, dir_okay=False),
+              help="Path to the checkpoint (config.yaml alongside).")
+@click.option("--pcm-format", type=click.Choice(["s16le", "f32le"]),
+              default="s16le", show_default=True,
+              help="Wire format of the stdin samples (mono, at the model's "
+                   "sample rate).")
+@click.option("--chunk-ms", type=float, default=100.0, show_default=True,
+              help="How much audio to read per iteration.")
+@click.option("--midi", required=False, metavar="MIDI_PATH",
+              help="Also write the accumulated SMF here at end-of-stream.")
+@click.option("--tempo", required=False, type=float, default=120)
+def stream(model, pcm_format, chunk_ms, midi, tempo):
+    import yaml
+
+    from some_tpu.inference.base_infer import build_inference
+    from some_tpu.inference.streaming import StreamingTranscriber
+
+    model_path = pathlib.Path(model)
+    with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
+        config = yaml.safe_load(f)
+    engine = build_inference(config, model_path)
+    st = StreamingTranscriber(engine)
+
+    sr = config["audio_sample_rate"]
+    itemsize = 2 if pcm_format == "s16le" else 4
+    chunk_bytes = max(itemsize, int(sr * chunk_ms / 1000) * itemsize)
+
+    stdin = sys.stdin.buffer
+    pending = b""
+    while True:
+        data = stdin.read(chunk_bytes)
+        if not data:
+            break
+        pending += data
+        usable = len(pending) - len(pending) % itemsize
+        if not usable:
+            continue
+        raw, pending = pending[:usable], pending[usable:]
+        if pcm_format == "s16le":
+            pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        else:
+            pcm = np.frombuffer(raw, "<f4").astype(np.float32)
+        for event in st.feed(pcm):
+            print(_event_line(event), flush=True)
+    for event in st.flush():
+        print(_event_line(event), flush=True)
+
+    if midi is not None:
+        st.to_midi(tempo=tempo).save(midi)
+        print(f"MIDI file saved at: '{midi}'", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    stream()
