@@ -30,10 +30,16 @@ import click
 from some_tpu.inference.pipeline import (MAX_DURATION_SEC, segments_to_json,
                                          slice_waveform)
 
+# DoS guard on the request body itself; the per-request duration gate is
+# MAX_DURATION_SEC, this only bounds what we are willing to buffer (a 20-min
+# 48 kHz stereo float64 WAV is ~920 MB; any legitimate upload fits well under
+# this)
+MAX_BODY_BYTES = 512 * 1024 * 1024
+
 
 class TranscribeJob:
     __slots__ = ("chunks", "offsets", "tempo", "audio_seconds", "done",
-                 "segments", "error")
+                 "segments", "error", "abandoned")
 
     def __init__(self, chunks, offsets, tempo, audio_seconds=0.0):
         self.chunks = chunks          # list of waveforms (one per slice)
@@ -43,6 +49,10 @@ class TranscribeJob:
         self.done = threading.Event()
         self.segments = None
         self.error: Optional[str] = None
+        # set by the handler when it gives up (503): the dispatcher drops
+        # abandoned jobs instead of burning device time on work nobody will
+        # receive, and never counts them as completed
+        self.abandoned = False
 
 
 class BatchingDispatcher:
@@ -51,12 +61,16 @@ class BatchingDispatcher:
     bucket and batches rows), then splits results back per job."""
 
     def __init__(self, engine, max_wait_ms: float = 25.0,
-                 max_chunks_per_batch: Optional[int] = None):
+                 max_chunks_per_batch: Optional[int] = None,
+                 max_queue_jobs: int = 256):
         self.engine = engine
         self.max_wait = max_wait_ms / 1000.0
         self.max_chunks = max_chunks_per_batch or 4 * engine.max_batch_chunks
-        self.jobs: "queue.Queue[TranscribeJob]" = queue.Queue()
-        self.stats = {"requests": 0, "failed_requests": 0, "batches": 0,
+        # bounded: a stalled device + retrying clients must not grow an
+        # unbounded backlog of waveforms (submit -> False -> HTTP 429)
+        self.jobs: "queue.Queue[TranscribeJob]" = queue.Queue(max_queue_jobs)
+        self.stats = {"requests": 0, "failed_requests": 0,
+                      "abandoned_requests": 0, "batches": 0,
                       "audio_seconds": 0.0, "device_seconds": 0.0,
                       "max_jobs_per_batch": 0}
         self._lock = threading.Lock()
@@ -64,8 +78,12 @@ class BatchingDispatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, job: TranscribeJob) -> None:
-        self.jobs.put(job)
+    def submit(self, job: TranscribeJob) -> bool:
+        try:
+            self.jobs.put_nowait(job)
+            return True
+        except queue.Full:
+            return False
 
     def queue_depth(self) -> int:
         return self.jobs.qsize()
@@ -98,6 +116,13 @@ class BatchingDispatcher:
     def _run(self) -> None:
         while True:
             batch = self._drain()
+            dropped = [job for job in batch if job.abandoned]
+            batch = [job for job in batch if not job.abandoned]
+            if dropped:
+                with self._lock:
+                    self.stats["abandoned_requests"] += len(dropped)
+            if not batch:
+                continue
             waveforms = [w for job in batch for w in job.chunks]
             t0 = time.monotonic()
             with self._lock:
@@ -118,16 +143,21 @@ class BatchingDispatcher:
                 job.segments = all_segments[pos:pos + len(job.chunks)]
                 pos += len(job.chunks)
                 job.done.set()
+            # a job whose handler timed out (503) mid-inference finished on
+            # the device but was delivered to nobody: count it abandoned,
+            # not completed
+            delivered = [job for job in batch if not job.abandoned]
             with self._lock:
                 self._busy_since = None
-                self.stats["requests"] += len(batch)
+                self.stats["requests"] += len(delivered)
+                self.stats["abandoned_requests"] += len(batch) - len(delivered)
                 self.stats["batches"] += 1
                 self.stats["device_seconds"] += elapsed
                 # only completed work counts toward throughput: failed jobs
                 # contributing audio_seconds would inflate RTF exactly when
                 # the service is broken
                 self.stats["audio_seconds"] += sum(
-                    job.audio_seconds for job in batch)
+                    job.audio_seconds for job in delivered)
                 self.stats["max_jobs_per_batch"] = max(
                     self.stats["max_jobs_per_batch"], len(batch))
 
@@ -198,6 +228,15 @@ def make_server(engine, config: dict, addr: str, port: int,
             except ValueError:
                 self._reply_json(400, {"error": "bad Content-Length"})
                 return
+            if length < 0:
+                # rfile.read(-1) would block until the client closes,
+                # pinning a handler thread per malicious connection
+                self._reply_json(400, {"error": "bad Content-Length"})
+                return
+            if length > MAX_BODY_BYTES:
+                self._reply_json(413, {"error": "body larger than "
+                                               f"{MAX_BODY_BYTES} bytes"})
+                return
             body = self.rfile.read(length)
             try:
                 waveform, _ = load_wav(io.BytesIO(body), sr=sr, mono=True)
@@ -212,10 +251,17 @@ def make_server(engine, config: dict, addr: str, port: int,
             job = TranscribeJob([c["waveform"] for c in chunk_dicts],
                                 [c["offset"] for c in chunk_dicts], tempo,
                                 audio_seconds=duration)
-            dispatcher.submit(job)
+            if not dispatcher.submit(job):
+                self._reply_json(429, {"error": "server overloaded, "
+                                                "retry later"})
+                return
             if not job.done.wait(timeout=infer_timeout_s):
                 # a hung device call holds the dispatcher thread forever;
-                # tell the caller instead of hanging the connection with it
+                # tell the caller instead of hanging the connection with it.
+                # Mark the job abandoned so the dispatcher drops it instead
+                # of burning device time on (and taking stats credit for)
+                # work nobody will receive.
+                job.abandoned = True
                 self._reply_json(503, {"error": "inference backend stalled"})
                 return
             if job.error is not None:

@@ -211,9 +211,81 @@ def test_stalled_backend_times_out_not_hangs():
             health = json.loads(err.read())
         assert health["status"] == "stalled"
         assert health["busy_seconds"] > 0
+        # when the hung call finally returns, the 503'd job must be counted
+        # abandoned — not as completed work with healthy throughput
+        release.set()
+        deadline = __import__("time").monotonic() + 30
+        while __import__("time").monotonic() < deadline:
+            stats = dispatcher.snapshot()
+            if stats["abandoned_requests"]:
+                break
+            __import__("time").sleep(0.05)
+        assert stats["abandoned_requests"] == 1
+        assert stats["requests"] == 0 and stats["audio_seconds"] == 0.0
     finally:
         release.set()
         httpd.shutdown()
+
+
+def test_full_queue_is_429():
+    """A stalled device plus retrying clients must bound the backlog: once
+    the job queue is full, submit() refuses and the handler replies 429."""
+    from serve import BatchingDispatcher, TranscribeJob
+
+    release = threading.Event()
+
+    class HangingEngine:
+        max_batch_chunks = 8
+
+        def infer(self, waveforms):
+            release.wait(timeout=30)
+            return [{"note_midi": np.zeros(0), "note_dur": np.zeros(0),
+                     "note_rest": np.zeros(0, bool)} for _ in waveforms]
+
+    dispatcher = BatchingDispatcher(HangingEngine(), max_wait_ms=1.0,
+                                    max_queue_jobs=1)
+    try:
+        wave = np.zeros(16, np.float32)
+        first = TranscribeJob([wave], [0.0], 120.0)
+        assert dispatcher.submit(first)
+        # wait until the dispatcher thread has drained it into the hung
+        # infer, leaving the queue empty again
+        deadline = __import__("time").monotonic() + 10
+        while dispatcher.queue_depth() and \
+                __import__("time").monotonic() < deadline:
+            __import__("time").sleep(0.01)
+        assert dispatcher.submit(TranscribeJob([wave], [0.0], 120.0))
+        assert not dispatcher.submit(TranscribeJob([wave], [0.0], 120.0)), \
+            "queue over capacity must refuse"
+    finally:
+        release.set()
+
+
+def test_negative_content_length_is_400(server):
+    """Content-Length: -1 must be rejected up front — rfile.read(-1) would
+    block until the client closes, pinning a handler thread forever."""
+    import socket
+
+    base, *_ = server
+    host, port = base.removeprefix("http://").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as sock:
+        sock.sendall(b"POST /transcribe?tempo=120 HTTP/1.1\r\n"
+                     b"Host: test\r\nContent-Length: -1\r\n\r\n")
+        reply = sock.recv(4096)
+    assert b"400" in reply.split(b"\r\n", 1)[0]
+
+
+def test_oversize_body_is_413_before_read(server):
+    import socket
+
+    base, *_ = server
+    host, port = base.removeprefix("http://").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as sock:
+        sock.sendall(b"POST /transcribe?tempo=120 HTTP/1.1\r\n"
+                     b"Host: test\r\nContent-Length: 999999999999\r\n\r\n")
+        # no body sent: the server must answer from the header alone
+        reply = sock.recv(4096)
+    assert b"413" in reply.split(b"\r\n", 1)[0]
 
 
 def test_failed_jobs_do_not_inflate_rtf():
