@@ -20,6 +20,7 @@ import numpy as np
 
 
 def main() -> int:
+    import some_tpu  # noqa: F401  applies SOME_TPU_PLATFORM before jax init
     import jax
     import jax.numpy as jnp
 
@@ -58,28 +59,44 @@ def main() -> int:
                 f"max|d|={real.max():.2e} ({'OK' if ok else 'FAIL'} "
                 f"tol {tol:g})")
 
-    # 2. depthwise pallas vs XLA. bf16: both paths round identically ->
-    # bit-identity expected (the original on-chip claim). f32: the Pallas
-    # kernel accumulates sequentially, XLA's HIGHEST-precision conv may
-    # associate differently -> a few f32 ulps, NOT zero. (XLA's DEFAULT
-    # precision truncates f32 conv operands to bf16 on the MXU — the ~6e-3
-    # "failure" the 2026-08-17 run caught; _xla_depthwise now pins HIGHEST.)
+    # 2. depthwise pallas vs XLA. Both paths compute exact-in-f32 products
+    # and accumulate in f32, but in different orders (Pallas: sequential
+    # taps; XLA HIGHEST conv: its own association), so the pre-round f32
+    # values differ by a few f32 ulps. For bf16 outputs a half-ulp boundary
+    # case can then flip ONE bf16 bit — the gate is an elementwise 1-bf16-ulp
+    # bound, not bit-identity (tol 0.0 was a flaky hardware gate). For f32
+    # outputs a small absolute bound covers the association difference.
+    # (XLA's DEFAULT precision truncates f32 conv operands to bf16 on the
+    # MXU — the ~6e-3 failure the 2026-08-17 run caught; _xla_depthwise now
+    # pins HIGHEST, and this stamp re-proves it on chip.)
     from some_tpu.ops.depthwise import depthwise_conv1d
     for T, C, K in ((1024, 512, 31), (512, 256, 31)):
-        for dtype, tol in ((jnp.bfloat16, 0.0), (jnp.float32, 5e-6)):
+        for dtype in (jnp.bfloat16, jnp.float32):
             x = jnp.asarray(rng.standard_normal((2, T, C)), dtype)
             w = jnp.asarray(rng.standard_normal((K, C)) * 0.1, dtype)
             ref = np.asarray(depthwise_conv1d(x, w, impl="xla"), np.float32)
             out = np.asarray(depthwise_conv1d(x, w, impl="pallas"),
                              np.float32)
-            diff = np.abs(out - ref).max()
-            ok = diff <= tol
-            failures += not ok
-            label = "bit-identical OK" if ok and tol == 0.0 else \
-                ("OK" if ok else "FAIL")
-            lines.append(f"  depthwise pallas vs xla T={T} C={C} k={K} "
-                         f"{np.dtype(dtype).name}: max|d|={diff:.2e} "
-                         f"({label} tol {tol:g})")
+            diff = np.abs(out - ref)
+            if dtype == jnp.bfloat16:
+                # 1 bf16 ulp at each element's magnitude (2^-8 relative),
+                # floored at the scale of the smallest meaningful output
+                allowed = 2.0 ** -8 * np.maximum(
+                    np.maximum(np.abs(ref), np.abs(out)), 1e-3)
+                ok = bool((diff <= allowed).all())
+                n_diff = int((diff > 0).sum())
+                failures += not ok
+                lines.append(
+                    f"  depthwise pallas vs xla T={T} C={C} k={K} bfloat16: "
+                    f"max|d|={diff.max():.2e}, {n_diff}/{diff.size} elems "
+                    f"differ ({'OK' if ok else 'FAIL'} tol 1 bf16 ulp)")
+            else:
+                ok = diff.max() <= 5e-6
+                failures += not ok
+                lines.append(
+                    f"  depthwise pallas vs xla T={T} C={C} k={K} float32: "
+                    f"max|d|={diff.max():.2e} ({'OK' if ok else 'FAIL'} "
+                    f"tol 5e-06)")
 
     # 3. fused LN->FFN->residual kernel vs reference math
     from some_tpu.ops.fused_ffn import fused_ln_ffn_residual
