@@ -41,6 +41,7 @@ class _SliceScanner:
         self.min_length = min_length
         self.max_sil_kept = max_sil_kept
         self._rms: list = []
+        self._rms_base = 0   # absolute frame index of _rms[0]
         self._silence_start = None
         self._clip_start = 0
         self._i = 0
@@ -51,8 +52,21 @@ class _SliceScanner:
 
     def _amin(self, a: int, b: int) -> int:
         """argmin of rms[a:b] as an absolute frame index."""
-        seg = self._rms[a:b]
+        seg = self._rms[a - self._rms_base:b - self._rms_base]
         return a + int(np.argmin(seg))
+
+    def compact(self) -> None:
+        """Drop RMS frames no future decision can read: every argmin window
+        starts at the current silence stretch's start (or cannot start
+        before the present frame when we are not inside silence). Keeps a
+        live stream's scanner state O(current silence) instead of O(stream).
+        Offline callers never need this — they feed once and discard."""
+        keep_from = self._i if self._silence_start is None \
+            else self._silence_start
+        drop = keep_from - self._rms_base
+        if drop >= 1 << 12:   # amortize list reshuffles
+            del self._rms[:drop]
+            self._rms_base = keep_from
 
     def _step(self, level: float):
         """Process one RMS frame; returns a (start, end) tag or None."""

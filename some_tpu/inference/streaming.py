@@ -33,11 +33,19 @@ from some_tpu.inference.pipeline import MAX_SIL_KEPT_MS
 
 
 class _GrowBuffer:
-    """Amortized-doubling append-only sample buffer (O(n) total copies)."""
+    """Amortized-doubling sample buffer addressed by ABSOLUTE index.
+
+    `append` adds samples at the end; `consume_to(i)` declares samples below
+    absolute index i dead so their storage can be reclaimed (a live stream
+    must not retain every sample ever fed — phrases already emitted and RMS
+    windows already scanned can never be referenced again). len() stays the
+    absolute total fed, and `slice(a, b)` reads by absolute coordinates, so
+    callers are oblivious to reclamation."""
 
     def __init__(self, dtype=np.float32, capacity: int = 1 << 16):
         self._a = np.zeros(capacity, dtype)
-        self._n = 0
+        self._base = 0   # absolute index of _a[0]
+        self._n = 0      # live samples currently stored
 
     def append(self, x: np.ndarray) -> None:
         need = self._n + len(x)
@@ -51,11 +59,25 @@ class _GrowBuffer:
         self._a[self._n:need] = x
         self._n = need
 
-    def __len__(self) -> int:
-        return self._n
+    def consume_to(self, abs_idx: int) -> None:
+        drop = min(abs_idx, self._base + self._n) - self._base
+        # amortize: memmove only when a meaningful prefix is dead
+        if drop >= 1 << 15:
+            self._a[:self._n - drop] = self._a[drop:self._n]
+            self._n -= drop
+            self._base += drop
 
-    def view(self) -> np.ndarray:
-        return self._a[:self._n]
+    def __len__(self) -> int:
+        """Absolute total number of samples ever appended."""
+        return self._base + self._n
+
+    def slice(self, start: int, end: int) -> np.ndarray:
+        """View of [start, end) in absolute coordinates (must be live)."""
+        assert start >= self._base, "sliced into a consumed region"
+        return self._a[start - self._base:end - self._base]
+
+    def nbytes(self) -> int:
+        return self._a.nbytes
 
 
 class StreamingTranscriber:
@@ -80,6 +102,10 @@ class StreamingTranscriber:
             self.slicer.threshold, self.slicer.min_interval,
             self.slicer.min_length, self.slicer.max_sil_kept)
         self._buf = _GrowBuffer()
+        # prefix sums of squared samples: _sq absolute index j holds
+        # sum(y[0..j]^2) accumulated in strict arrival order
+        self._sq = _GrowBuffer(dtype=np.float64)
+        self._acc = 0.0              # last prefix value (f64 chain carry)
         self._win = self.slicer.win_size
         self._hop = self.slicer.hop_size
         self._pad = self._win // 2
@@ -90,14 +116,37 @@ class StreamingTranscriber:
         self._offsets: List[float] = []
         self._segments: List[dict] = []
 
-    # -- incremental RMS (exact twin of audio/slicer.rms_envelope) ---------
+    # -- incremental RMS (bit-exact twin of audio/slicer.rms_envelope) -----
+    #
+    # Both offline envelopes (python rms_envelope and the native C++ scan)
+    # compute a SEQUENTIAL float64 cumulative sum of squares and difference
+    # it per frame. Sequential f64 addition is order-determined, so seeding
+    # np.cumsum of each new block with the running carry reproduces the
+    # offline prefix values bit-for-bit — a direct per-frame np.dot would
+    # differ in low-order bits (the offline cumsum carries cancellation
+    # error the dot does not), and a frame near the -40 dB threshold or an
+    # argmin near-tie would then resolve differently, breaking the
+    # stream-equals-offline guarantee on audio with a real noise floor.
+
+    def _append_prefix(self, x: np.ndarray) -> None:
+        sq = x.astype(np.float64)
+        np.multiply(sq, sq, out=sq)
+        seeded = np.cumsum(np.concatenate(([self._acc], sq)))
+        self._sq.append(seeded[1:])
+        self._acc = float(seeded[-1])
+
+    def _prefix(self, j: int) -> float:
+        """Offline csum value at absolute sample index j (sum of first j
+        squared samples); zero-padding outside the signal adds exact 0.0."""
+        if j <= 0:
+            return 0.0
+        return float(self._sq.slice(j - 1, j)[0])
 
     def _frame_rms(self, k: int, n_total: int) -> float:
         start = k * self._hop - self._pad
-        end = start + self._win
-        seg = self._buf.view()[max(0, start):min(n_total, end)]
-        seg = seg.astype(np.float64)
-        return math.sqrt(float(np.dot(seg, seg)) / self._win)
+        end = min(n_total, start + self._win)
+        power = (self._prefix(end) - self._prefix(start)) / self._win
+        return math.sqrt(power)
 
     def _available_frames(self) -> int:
         """Frames whose full window (incl. right edge) is already buffered."""
@@ -115,7 +164,7 @@ class StreamingTranscriber:
     def _chunk_events(self, begin_f: int, end_f: int) -> List[dict]:
         begin = begin_f * self._hop
         end = min(len(self._buf), end_f * self._hop)
-        wave = self._buf.view()[begin:end].copy()
+        wave = self._buf.slice(begin, end).copy()
         [segment] = self.engine.infer([wave])
         event = {"offset": begin / self.sr, "segment": segment}
         self._offsets.append(event["offset"])
@@ -142,17 +191,32 @@ class StreamingTranscriber:
 
     # -- public API --------------------------------------------------------
 
+    def _compact(self) -> None:
+        """Reclaim storage nothing can reference again: PCM before the next
+        chunk's start, prefix sums before the next RMS window, and the
+        scanner's old RMS frames. Bounds a live stream's footprint to the
+        current phrase instead of the whole session."""
+        chunk_start = (self._prev_tag_end * self._hop) if self._saw_tag else 0
+        self._buf.consume_to(chunk_start)
+        self._sq.consume_to(max(0, self._next_frame * self._hop
+                                - self._pad - 1))
+        self._scanner.compact()
+
     def feed(self, pcm: np.ndarray) -> List[dict]:
         """Append mono float32 samples; returns events for every phrase the
         slicer completed with this data."""
         if self._finished:
             raise RuntimeError("flush() already called")
-        self._buf.append(np.asarray(pcm, np.float32).reshape(-1))
+        x = np.asarray(pcm, np.float32).reshape(-1)
+        self._buf.append(x)
+        self._append_prefix(x)
         avail = self._available_frames()
         n = len(self._buf)
         levels = [self._frame_rms(k, n) for k in range(self._next_frame, avail)]
         self._next_frame = avail
-        return self._on_tags(self._scanner.feed(levels))
+        events = self._on_tags(self._scanner.feed(levels))
+        self._compact()
+        return events
 
     def flush(self) -> List[dict]:
         """End of stream: run the edge-padded tail frames and the trailing-

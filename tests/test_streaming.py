@@ -3,8 +3,9 @@
 The stream drives the exact offline silence-scan incrementally
 (some_tpu/inference/streaming.py), so chunk boundaries — and the notes —
 must be identical to running the whole file through slice+infer at once.
-Uses audio with true digital-silence gaps, where the incremental RMS is
-exactly the offline envelope.
+Covers both digital-silence gaps and a real noise floor (where equality
+requires the incremental RMS to be bit-exact with the offline cumsum
+envelope), plus the bounded-memory guarantee for live streams.
 """
 import numpy as np
 import pytest
@@ -87,6 +88,106 @@ def test_phrases_emit_before_stream_ends(engine):
     # feeding after flush is an error
     with pytest.raises(RuntimeError):
         st.feed(np.zeros(10, np.float32))
+
+
+class _StubEngine:
+    """Engine double for host-plane-only streaming tests."""
+    config = {"audio_sample_rate": 44100}
+
+    def infer(self, waveforms):
+        return [{"note_midi": np.zeros(0), "note_dur": np.zeros(0),
+                 "note_rest": np.zeros(0, bool)} for _ in waveforms]
+
+
+def _noisy_song(sr, seed=60):
+    """Audio with a real noise floor: gaps are -50 dB noise (below the
+    -40 dB threshold but NOT digital zero), tones carry the same floor.
+    Near-threshold RMS values make silence tags sensitive to low-order
+    envelope bits — the case that catches a non-bit-exact incremental RMS."""
+    rng = np.random.default_rng(seed)
+    parts = [synth(6.0, 440.0, seed=61),
+             np.zeros(int(1.5 * sr), np.float32),
+             synth(2.0, 523.25, seed=62),
+             np.zeros(sr, np.float32),
+             synth(1.5, 330.0, seed=63)]
+    wave = np.concatenate(parts)
+    wave += (10 ** (-50 / 20) * rng.standard_normal(len(wave))
+             ).astype(np.float32)
+    return wave
+
+
+def test_incremental_rms_bitexact_vs_offline():
+    """The stream's envelope must equal audio/slicer.rms_envelope to the
+    BIT on noise-floor audio, across ragged feed boundaries: a plain
+    per-frame dot product differs in low-order f64 bits from the offline
+    cumulative-sum chain and can flip a near-threshold silence decision."""
+    from some_tpu.audio.slicer import rms_envelope
+    from some_tpu.inference.streaming import StreamingTranscriber
+
+    sr = 44100
+    wave = _noisy_song(sr)
+    st = StreamingTranscriber(_StubEngine())
+    recorded = []
+
+    def spy(levels, _orig=st._scanner.feed):
+        recorded.extend(levels)
+        return _orig(levels)
+
+    st._scanner.feed = spy
+    rng = np.random.default_rng(3)
+    pos = 0
+    while pos < len(wave):
+        n = int(rng.integers(777, 50000))
+        st.feed(wave[pos:pos + n])
+        pos += n
+    st.flush()
+    want = rms_envelope(wave, frame_length=st._win, hop_length=st._hop)
+    got = np.asarray(recorded)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_matches_offline_on_noise_floor(engine):
+    """End-to-end stream-equals-offline on audio whose silence gaps are a
+    real noise floor, not digital zeros (regression for the RMS-twin gap)."""
+    from some_tpu.inference.streaming import StreamingTranscriber
+
+    sr = engine.config["audio_sample_rate"]
+    wave = _noisy_song(sr)
+    want = _offline_midi(engine, wave, sr)
+    st = StreamingTranscriber(engine)
+    rng = np.random.default_rng(4)
+    pos, events = 0, []
+    while pos < len(wave):
+        n = int(rng.integers(500, 40000))
+        events += st.feed(wave[pos:pos + n])
+        pos += n
+    events += st.flush()
+    assert st.to_midi(tempo=120).serialize() == want
+    assert len(events) >= 2
+
+
+def test_stream_memory_is_bounded():
+    """A live stream must not retain every sample ever fed: consumed PCM,
+    prefix sums, and old scanner RMS frames are reclaimed, so hours of
+    audio hold only the current phrase."""
+    from some_tpu.inference.streaming import StreamingTranscriber
+
+    sr = 44100
+    st = StreamingTranscriber(_StubEngine())
+    phrase = np.concatenate([synth(6.0, 440.0, seed=70),
+                             np.zeros(2 * sr, np.float32)])
+    for _ in range(6):
+        for pos in range(0, len(phrase), 44100):
+            st.feed(phrase[pos:pos + 44100])
+    total = len(st._buf)
+    assert total == 6 * len(phrase)
+    # live PCM is ~one phrase, not six (amortized memmove slack allowed)
+    assert st._buf._n <= len(phrase) + (1 << 16)
+    assert st._sq._n <= 2 * st._win + (1 << 16)
+    # scanner keeps O(current silence) frames, not the whole stream
+    assert len(st._scanner._rms) <= st._scanner.max_sil_kept + (1 << 13)
+    st.flush()
 
 
 def test_flush_only_single_phrase(engine):
