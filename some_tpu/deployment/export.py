@@ -30,6 +30,10 @@ class DeploymentExporter:
 
     def __init__(self, config: dict, model_path, dtype=None):
         engine_kwargs = {} if dtype is None else {"dtype": dtype}
+        # the artifact's input contract is float32 audio (portable,
+        # bit-exact — see module docstring); pin the wire regardless of the
+        # serving default so the traced pipeline has no packed decode
+        config = dict(config, transfer_dtype="float32")
         self.engine = self.infer_cls(config=config, model_path=model_path,
                                      **engine_kwargs)
         self.config = config

@@ -18,7 +18,7 @@ from typing import Dict, List
 import jax
 import numpy as np
 
-from some_tpu.audio.wire import encode_wire, wire_np_dtype, wire_zero
+from some_tpu.audio.wire import encode_wire, silence_buffer
 from some_tpu.nn.model import build_midi_extractor
 from some_tpu.ops.melspec import LogMelSpec
 from some_tpu.registry import TASK_INFERENCE_MAPPING, resolve_class
@@ -90,9 +90,11 @@ class BaseInference:
         # 16-bit-PCM-sourced float waveforms after the on-device /32768
         # (and halves transfer bytes — the interconnect is the bottleneck at
         # multi-thousand-x real time). transfer_dtype: float32 ships floats
-        # verbatim (bit parity for synthetic float sources); mulaw8 is the
-        # opt-in 1-byte lossy wire for bandwidth-starved links (see
-        # some_tpu/audio/wire.py).
+        # verbatim (bit parity for synthetic float sources). The lossy
+        # mu-law wires are opt-in for bandwidth-starved links, with their
+        # note-F1 cost measured on the prod-parity harness: mulaw12
+        # (1.5 B/sample, F1 0.99) and mulaw8 (1 B/sample, F1 0.97) — see
+        # some_tpu/audio/wire.py and BENCH_NOTES.md.
         self.wire = str(config.get("transfer_dtype", "int16"))
         self.transfer_int16 = self.wire == "int16"
         # frame-bucket table; override per engine to trade pad waste vs
@@ -213,8 +215,7 @@ class BaseInference:
                 # frames (n//hop + 1) — no chunk truncation at bucket edges
                 n_samples = bucket * self.hop - 1
                 rows = pick_batch_bucket(len(group), self.max_batch_chunks)
-                audio = np.full((rows, n_samples), wire_zero(self.wire),
-                                dtype=wire_np_dtype(self.wire))
+                audio = silence_buffer(self.wire, rows, n_samples)
                 mask = np.zeros((rows, bucket), dtype=bool)
                 for row, job in enumerate(group):
                     wave = encode_wire(job["wave"][:n_samples], self.wire)

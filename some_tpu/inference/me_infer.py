@@ -71,7 +71,10 @@ class MIDIExtractionInference(BaseInference):
 
     def _device_pipeline(self, variables, audio, mask):
         from some_tpu.audio.wire import decode_wire_device
-        audio = decode_wire_device(audio)
+        # wire + n_samples are static under jit: packed formats (mulaw12)
+        # decode to the row's true sample count derived from the bucket
+        audio = decode_wire_device(audio, wire=self.wire,
+                                   n_samples=mask.shape[1] * self.hop - 1)
         units = self.mel(audio)
         probs, bounds = self._forward(variables, units, mask)
         return self._decode(probs, bounds, mask)
@@ -88,12 +91,12 @@ class MIDIExtractionInference(BaseInference):
             pad = (-len(audio)) % n_dev
             if pad:  # all-False mask rows decode to zero notes and are
                 # never read back (infer() indexes only real rows); pad with
-                # the wire's zero code — a raw 0x00 byte is full-scale -1.0
+                # wire-encoded silence — a raw 0x00 byte is full-scale -1.0
                 # under mulaw8, which would feed a pathological DC signal
                 # through the mel/conformer (ADVICE r2)
-                from some_tpu.audio.wire import wire_zero
-                audio = np.concatenate([audio, np.full(
-                    (pad, audio.shape[1]), wire_zero(self.wire), audio.dtype)])
+                from some_tpu.audio.wire import silence_like
+                audio = np.concatenate([audio, silence_like(
+                    self.wire, (pad, audio.shape[1]))])
                 frame_mask = np.concatenate([frame_mask, np.zeros(
                     (pad, frame_mask.shape[1]), bool)])
             shard = NamedSharding(self.mesh, P("data"))

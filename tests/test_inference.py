@@ -103,7 +103,14 @@ class TestExportRoundtrip:
         pipeline = load_exported(out_dir)
         w = synth(1.0, 440)
         exported_out = pipeline(w)
-        engine_out = engine.infer([w])[0]
+        # compare against a float32-wire engine: the artifact's input
+        # contract is float32, while the fixture engine serves the default
+        # packed wire (whose quantization flips random-weight knife edges)
+        from some_tpu.inference.me_infer import MIDIExtractionInference
+        eng_f32 = MIDIExtractionInference.from_variables(
+            dict(engine.config, transfer_dtype="float32"),
+            engine.variables, dtype=engine.dtype)
+        engine_out = eng_f32.infer([w])[0]
         np.testing.assert_allclose(exported_out["note_midi"],
                                    engine_out["note_midi"], atol=1e-3)
         np.testing.assert_array_equal(exported_out["note_rest"],
@@ -246,7 +253,8 @@ class TestWireFormat:
              / 32768.0).astype(np.float32)
 
         eng_i16 = MIDIExtractionInference.from_variables(
-            dict(config), variables, dtype=jnp.float32)
+            dict(config, transfer_dtype="int16"), variables,
+            dtype=jnp.float32)
         assert eng_i16.transfer_int16
         cfg_f32 = dict(config)
         cfg_f32["transfer_dtype"] = "float32"
@@ -391,6 +399,89 @@ def test_mulaw_roundtrip_snr():
     assert wire_zero("mulaw8") == 128
     sil = np.asarray(decode_wire_device(jnp.asarray(np.full(64, 128, np.uint8))))
     assert np.abs(sil).max() < 1e-3
+
+
+def test_mulaw12_roundtrip_and_packing():
+    """Packed 12-bit mu-law wire: 1.5 B/sample, ~62 dB SNR full-scale and
+    >40 dB on -60 dB signals (24 dB finer than mulaw8), exact-zero silence
+    code, odd-length padding, and batch packing."""
+    import jax.numpy as jnp
+
+    from some_tpu.audio.wire import (decode_wire_device, encode_wire,
+                                     silence_buffer, silence_like, wire_width)
+
+    w = synth(0.5, 440, seed=4)
+    enc = encode_wire(w, "mulaw12")
+    assert enc.dtype == np.uint8 and len(enc) == wire_width("mulaw12", len(w))
+    assert len(enc) * 2 == 3 * (len(w) + len(w) % 2)
+    dec = np.asarray(decode_wire_device(jnp.asarray(enc), wire="mulaw12",
+                                        n_samples=len(w)))
+    snr = 10 * np.log10(np.mean(w ** 2) / np.mean((dec - w) ** 2))
+    assert snr > 55, snr
+    quiet = (w * 1e-3)
+    dq = np.asarray(decode_wire_device(
+        jnp.asarray(encode_wire(quiet, "mulaw12")), wire="mulaw12",
+        n_samples=len(quiet)))
+    qsnr = 10 * np.log10(np.mean(quiet ** 2) / np.mean((dq - quiet) ** 2))
+    assert qsnr > 35, qsnr  # mulaw8 measures ~16 dB on the same signal
+    # silence decodes to EXACT zero (midtread code 2048), for any row length
+    sil = silence_buffer("mulaw12", 2, 101)
+    ds = np.asarray(decode_wire_device(jnp.asarray(sil), wire="mulaw12",
+                                       n_samples=101))
+    assert ds.shape == (2, 101) and np.abs(ds).max() == 0.0
+    assert np.array_equal(silence_like("mulaw12", sil.shape), sil)
+    # odd length pads internally with a silence sample
+    d_odd = np.asarray(decode_wire_device(
+        jnp.asarray(encode_wire(w[:777], "mulaw12")), wire="mulaw12",
+        n_samples=777))
+    np.testing.assert_allclose(d_odd, dec[:777], atol=1e-6)
+    # 2-D batch encode/decode round-trips row-wise
+    W = np.stack([w[:1000], w[1000:2000]])
+    D = np.asarray(decode_wire_device(
+        jnp.asarray(encode_wire(W, "mulaw12")), wire="mulaw12",
+        n_samples=1000))
+    np.testing.assert_allclose(D[0], dec[:1000], atol=1e-6)
+
+
+def test_mulaw12_wire_notes_agree():
+    """The default 1.5-byte wire must not change decoded notes vs float32
+    (62 dB quantization noise is transparent to the log-mel frontend; only
+    knife-edge random-weight boundaries may shift by a frame)."""
+    import jax
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    config = dict(TINY_MODEL_CONFIG)
+    model = build_midi_extractor(config, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, 64, 80), np.float32),
+                           mask=np.ones((1, 64), bool))
+    w = synth(1.0, 440, seed=9)
+    eng_mu = MIDIExtractionInference.from_variables(
+        dict(config, transfer_dtype="mulaw12"), variables, dtype=jnp.float32)
+    assert eng_mu.wire == "mulaw12"
+    eng_f32 = MIDIExtractionInference.from_variables(
+        dict(config, transfer_dtype="float32"), variables, dtype=jnp.float32)
+    out_mu = eng_mu.infer([w])[0]
+    out_f32 = eng_f32.infer([w])[0]
+    # random weights put boundary probs near the 0.5 threshold, so even a
+    # 62 dB wire may flip one knife-edge boundary on this tiny model —
+    # note-level F1 is the right bar here; exact-1.0 parity at production
+    # geometry is asserted by test_prod_parity (mulaw12 rows, min_f1=1.0)
+    from some_tpu.utils.note_f1 import note_f1
+    from tests.test_onnx_export import _notes_to_events
+
+    r = _notes_to_events(out_f32["note_midi"], out_f32["note_dur"],
+                         out_f32["note_rest"])
+    p = _notes_to_events(out_mu["note_midi"], out_mu["note_dur"],
+                         out_mu["note_rest"])
+    assert len(r[0]) > 0
+    result = note_f1(r, p, onset_tolerance=0.05, pitch_tolerance=0.5)
+    # observed: exactly one boundary flip among ~19 notes (F1 0.947) —
+    # allow one flip, fail on systematic disagreement
+    assert result.f1 >= 0.9, result
 
 
 def test_mulaw_wire_notes_agree():

@@ -143,10 +143,15 @@ def run_cli(ckpt_dir: pathlib.Path, config: dict, wav_path, midi_path):
     ("32-true", 1, "int8", "float32", 0.95),
     # mulaw8 1-byte wire (opt-in for bandwidth-starved links): ~38 dB SNR
     # audio -> measured F1 0.972 (f32) / 0.975 (bf16) on this random-weights
-    # model — a real, recorded quality cost (BENCH_NOTES "mulaw8 wire"),
-    # which is why int16 stays the default
+    # model — a real, recorded quality cost (BENCH_NOTES "mulaw8 wire")
     ("32-true", 1, "none", "mulaw8", 0.95),
     ("bf16", 1, "none", "mulaw8", 0.95),
+    # mulaw12 packed 1.5-byte wire: measured F1 0.9916 (f32) on this
+    # random-weights model — 2/179 knife-edge notes flip, which is why it
+    # stays opt-in rather than default (int16 measures 1.0 here; a lossy
+    # wire only earns default status if F1 is UNCHANGED)
+    ("32-true", 1, "none", "mulaw12", 0.98),
+    ("bf16", 1, "none", "mulaw12", 0.98),
 ])
 def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs,
                                 quantize, wire, min_f1):

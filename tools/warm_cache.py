@@ -66,11 +66,12 @@ def main():
     total = 0
     for bucket in buckets:
         for r in rows:
-            n_samples = bucket * engine.hop - 1
+            from some_tpu.audio.wire import wire_width
+            n_wire = wire_width(engine.wire, bucket * engine.hop - 1)
             t0 = time.perf_counter()
             engine._pipeline.lower(
                 var_shapes,
-                jax.ShapeDtypeStruct((r, n_samples), wire),
+                jax.ShapeDtypeStruct((r, n_wire), wire),
                 jax.ShapeDtypeStruct((r, bucket), jnp.bool_),
             ).compile()
             total += 1
