@@ -148,14 +148,13 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
         n_frames = len(c["waveform"]) // engine.hop + 1
         groups.setdefault(pick_bucket(n_frames), []).append(
             (c["waveform"], n_frames))
-    from some_tpu.audio.wire import encode_wire, wire_np_dtype, wire_zero
+    from some_tpu.audio.wire import encode_wire, silence_buffer
     dev_inputs = []
     for bucket, items in sorted(groups.items()):
         for start in range(0, len(items), engine.max_batch_chunks):
             part = items[start:start + engine.max_batch_chunks]
             n_samples = bucket * engine.hop - 1
-            audio = np.full((len(part), n_samples), wire_zero(engine.wire),
-                            dtype=wire_np_dtype(engine.wire))
+            audio = silence_buffer(engine.wire, len(part), n_samples)
             mask = np.zeros((len(part), bucket), bool)
             for row, (wave, frames) in enumerate(part):
                 w = encode_wire(wave[:n_samples], engine.wire)
@@ -227,11 +226,10 @@ def _watchdog(seconds: float):
     return timer
 
 
-def _probe_alive(timeout_s: float) -> bool:
-    """One device-liveness probe in a SUBPROCESS (a hung in-process jax call
+def _spawn_probe():
+    """One device-liveness probe as a SUBPROCESS (a hung in-process jax call
     can never be cancelled). Forces bytes back to the host — the lazy axon
     backend can 'complete' without executing otherwise."""
-    import signal
     import subprocess
 
     code = (
@@ -245,22 +243,9 @@ def _probe_alive(timeout_s: float) -> bool:
         "import some_tpu;"  # applies SOME_TPU_PLATFORM=cpu when smoke-testing
         "import numpy, jax.numpy as jnp;"
         "numpy.asarray(jnp.sum(jnp.ones((64,64))))")
-    proc = subprocess.Popen([sys.executable, "-c", code],
+    return subprocess.Popen([sys.executable, "-c", code],
                             stdout=subprocess.DEVNULL,
                             stderr=subprocess.DEVNULL)
-    try:
-        return proc.wait(timeout=timeout_s) == 0
-    except subprocess.TimeoutExpired:
-        # SIGTERM only — SIGKILL on a tunnel client leaves stale device
-        # leases (CLAUDE.md). A probe that ignores SIGTERM is hung INSIDE
-        # the tunnel RPC; abandon it (daemonless child, exits with the
-        # bench process) rather than poisoning the device with kill -9.
-        proc.send_signal(signal.SIGTERM)
-        try:
-            proc.wait(timeout=15)
-        except subprocess.TimeoutExpired:
-            pass
-        return False
 
 
 def _wait_for_device(total_budget: float, t_start: float) -> bool:
@@ -269,18 +254,52 @@ def _wait_for_device(total_budget: float, t_start: float) -> bool:
     ~90 s until only SOME_BENCH_RESERVE seconds of the budget remain — the
     warm-cache bench itself needs ~5-10 min — then proceeds regardless (the
     absolute watchdog still converts a truly dead device into the sentinel).
+
+    AT MOST ONE probe child exists at a time: a probe blocked inside the
+    tunnel RPC is left running and re-polled — the instant the tunnel
+    recovers it completes and reports liveness — instead of abandoning it
+    and stacking a fresh client every cycle (orphans reparent to init, they
+    do NOT die with this process, and dozens of them firing at recovery
+    would violate the serialize-TPU-jobs rule). SIGTERM only on exit paths:
+    SIGKILL on a tunnel client leaves stale device leases (CLAUDE.md).
     Diagnostics go to stderr; stdout stays reserved for the one JSON line."""
+    import signal
+    import subprocess
+
     reserve = float(os.environ.get("SOME_BENCH_RESERVE", 900))
     deadline = t_start + max(0.0, total_budget - reserve)
     attempt = 0
+    proc = None
     while True:
-        attempt += 1
-        if _probe_alive(timeout_s=90):
-            print(f"| probe {attempt}: device alive "
-                  f"(+{time.time() - t_start:.0f}s)", file=sys.stderr,
-                  flush=True)
-            return True
+        if proc is None:
+            attempt += 1
+            proc = _spawn_probe()
+        try:
+            rc = proc.wait(timeout=90)
+        except subprocess.TimeoutExpired:
+            rc = None
         now = time.time()
+        if rc == 0:
+            print(f"| probe {attempt}: device alive (+{now - t_start:.0f}s)",
+                  file=sys.stderr, flush=True)
+            return True
+        if rc is None:
+            # still blocked inside the RPC; keep THIS child and re-poll
+            print(f"| probe {attempt}: blocked in tunnel RPC "
+                  f"(+{now - t_start:.0f}s, deadline "
+                  f"+{deadline - t_start:.0f}s)", file=sys.stderr, flush=True)
+            if now >= deadline:
+                # hand the hung child a SIGTERM and give it a moment so the
+                # bench attempt that follows doesn't race a late completion
+                proc.send_signal(signal.SIGTERM)
+                try:
+                    proc.wait(timeout=15)
+                except subprocess.TimeoutExpired:
+                    pass  # one documented orphan; exits at tunnel recovery
+                return False
+            continue  # wait() already consumed the 90 s cycle
+        # exited nonzero: tunnel answered with an error; retry after a pause
+        proc = None
         print(f"| probe {attempt}: no response (+{now - t_start:.0f}s, "
               f"deadline +{deadline - t_start:.0f}s)", file=sys.stderr,
               flush=True)

@@ -38,14 +38,19 @@ def transcribe_waveform(engine, waveform: np.ndarray, sr: int,
                            tempo=tempo)
 
 
+def segment_to_json(offset: float, seg: dict) -> Dict[str, object]:
+    """One segment in the wire schema shared by serve.py's ?format=json and
+    stream.py's NDJSON events — the single definition of the field names."""
+    return {
+        "offset_sec": float(offset),
+        "note_midi": np.asarray(seg["note_midi"], float).tolist(),
+        "note_dur_sec": np.asarray(seg["note_dur"], float).tolist(),
+        "note_rest": np.asarray(seg["note_rest"], bool).tolist(),
+    }
+
+
 def segments_to_json(offsets, segments, tempo: float) -> Dict[str, object]:
     """JSON-safe note arrays (the serve.py ?format=json wire schema)."""
-    out = []
-    for offset, seg in zip(offsets, segments):
-        out.append({
-            "offset_sec": float(offset),
-            "note_midi": np.asarray(seg["note_midi"], float).tolist(),
-            "note_dur_sec": np.asarray(seg["note_dur"], float).tolist(),
-            "note_rest": np.asarray(seg["note_rest"], bool).tolist(),
-        })
-    return {"segments": out, "tempo": tempo}
+    return {"segments": [segment_to_json(o, s)
+                         for o, s in zip(offsets, segments)],
+            "tempo": tempo}

@@ -27,13 +27,9 @@ import numpy as np
 
 
 def _event_line(event) -> str:
-    seg = event["segment"]
-    return json.dumps({
-        "offset_sec": float(event["offset"]),
-        "note_midi": np.asarray(seg["note_midi"], float).tolist(),
-        "note_dur_sec": np.asarray(seg["note_dur"], float).tolist(),
-        "note_rest": np.asarray(seg["note_rest"], bool).tolist(),
-    })
+    from some_tpu.inference.pipeline import segment_to_json
+
+    return json.dumps(segment_to_json(event["offset"], event["segment"]))
 
 
 @click.command(help="Stream raw mono PCM from stdin; print note events as "
