@@ -394,10 +394,12 @@ def main() -> None:
         # host CODE is responsible for (decode+slice+quantize+SMF write)
         "file_host_fraction": round(host_fraction, 3),
         "file_host_compute_fraction": round(host_compute_fraction, 3),
+        "wire": engine.wire,
     }
     try:  # feed the sentinel's last-valid context for future outages —
-        # real-TPU captures only (a CPU smoke run is not perf context)
-        if jax.devices()[0].platform == "tpu":
+        # real-TPU captures only, DEFAULT wire only (an A/B leg with a
+        # lossy wire must not masquerade as the default-config number)
+        if jax.devices()[0].platform == "tpu" and engine.wire == "int16":
             LAST_VALID_PATH.write_text(json.dumps(
                 dict(result, captured_at=time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))))
