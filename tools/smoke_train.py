@@ -38,7 +38,7 @@ def synth_song(rng, notes, durs):
     return wave.astype(np.float32)
 
 
-def make_dataset(root: pathlib.Path, rng, n_items=12):
+def make_dataset(root: pathlib.Path, rng, n_items=12, max_notes=9):
     from some_tpu.audio.wavio import save_wav
     from some_tpu.utils.note_names import midi_to_note
 
@@ -46,7 +46,7 @@ def make_dataset(root: pathlib.Path, rng, n_items=12):
     wavs.mkdir(parents=True)
     rows = []
     for i in range(n_items):
-        n_notes = int(rng.integers(4, 9))
+        n_notes = int(rng.integers(4, max_notes))
         notes, names, durs = [], [], []
         for _ in range(n_notes):
             if rng.random() < 0.2:
@@ -72,6 +72,62 @@ def make_dataset(root: pathlib.Path, rng, n_items=12):
         writer.writerows(rows)
 
 
+def eval_unseen(base: pathlib.Path, work: pathlib.Path,
+                config: dict | None = None) -> dict:
+    """Generalization check: transcribe an UNSEEN synthetic song (fresh RNG
+    seed) through the real `infer.py` CLI with the newest checkpoint, and
+    score note F1 against the ground-truth labels (the round-2 manual
+    harness, BENCH_NOTES 'Learning proof — PRODUCTION geometry', now
+    scripted)."""
+    import subprocess
+
+    from some_tpu.audio.wavio import save_wav
+    from some_tpu.training.checkpoint import latest_checkpoint
+    from some_tpu.utils.midi_file import build_midi_file
+    from some_tpu.utils.note_f1 import note_f1
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from compare_midi import midi_notes_to_arrays
+
+    rng = np.random.default_rng(777)  # disjoint from the training seed
+    notes, durs, rests = [], [], []
+    for _ in range(24):
+        rest = rng.random() < 0.2
+        rests.append(rest)
+        notes.append(60.0 if rest else
+                     float(rng.integers(52, 76))
+                     + round(float(rng.uniform(-0.3, 0.3)), 2))
+        durs.append(round(float(rng.uniform(0.25, 0.7)), 3))
+    wav = base / "unseen.wav"
+    save_wav(wav, synth_song(
+        rng, [None if r else n for n, r in zip(notes, rests)], durs), SR)
+    truth = base / "unseen_truth.mid"
+    build_midi_file([0.0], [{
+        "note_midi": np.asarray(notes), "note_dur": np.asarray(durs),
+        "note_rest": np.asarray(rests)}], tempo=120).save(truth)
+
+    ckpt = latest_checkpoint(work)
+    if config is not None and not (work / "config.yaml").exists():
+        import yaml
+        with open(work / "config.yaml", "w", encoding="utf8") as f:
+            yaml.safe_dump(config, f)  # infer.py reads it next to the ckpt
+    pred = base / "unseen_pred.mid"
+    subprocess.run([sys.executable, str(repo / "infer.py"), "--model",
+                    str(ckpt), "--wav", str(wav), "--midi", str(pred)],
+                   check=True, timeout=1800)
+    ref_arrays, _ = midi_notes_to_arrays(str(truth))
+    pred_arrays, _ = midi_notes_to_arrays(str(pred))
+    out = {}
+    for tol in (0.05, 0.1, 0.2):
+        r = note_f1(ref_arrays, pred_arrays, onset_tolerance=tol,
+                    pitch_tolerance=0.5)
+        out[tol] = r
+        print(f"| unseen-song note F1 @ onset {int(tol * 1000)} ms: "
+              f"{r.f1:.3f} ({r.n_match}/{r.n_ref})")
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=200)
@@ -88,6 +144,14 @@ def main():
     parser.add_argument("--workdir", default=None)
     parser.add_argument("--task", choices=["continuous", "quant"],
                         default="continuous")
+    parser.add_argument("--n_songs", type=int, default=12,
+                        help="synthetic training songs (12 ~= 33 s audio)")
+    parser.add_argument("--song_notes", type=int, default=9,
+                        help="max notes per synthetic song")
+    parser.add_argument("--eval_unseen", action="store_true",
+                        help="after training, transcribe an UNSEEN synthetic "
+                             "song through the real infer.py CLI and score "
+                             "note F1 against its ground-truth labels")
     args = parser.parse_args()
     if args.prod:
         args.lay, args.dim, args.heads, args.heads_dim = 8, 512, 8, 64
@@ -99,7 +163,8 @@ def main():
     rng = np.random.default_rng(2026)
     print(f"| workspace: {base}")
     if not (raw / "transcriptions.csv").exists():
-        make_dataset(raw, rng)
+        make_dataset(raw, rng, n_items=args.n_songs,
+                     max_notes=args.song_notes)
 
     config = {
         "raw_data_dir": [str(raw)], "binary_data_dir": str(binary),
@@ -107,6 +172,11 @@ def main():
                               "skip_glide": True, "merge_rest": True,
                               "merge_slur": True, "round_midi": False,
                               "slur_tolerance": 0.5},
+        # class-path keys so the frozen work-dir config drives infer.py
+        "task_cls": ("training.QuantizedMIDIExtractionTask"
+                     if args.task == "quant"
+                     else "training.MIDIExtractionTask"),
+        "model_cls": "modules.model.Gmidi_conform.midi_conforms",
         "audio_sample_rate": SR, "hop_size": 512, "win_size": 2048,
         "fmin": 40, "fmax": 8000, "units_dim": 80, "units_encoder": "mel",
         "pe": "yin", "pe_ckpt": None,
@@ -171,6 +241,8 @@ def main():
     print(f"| after {int(state.step)} steps: val midi_acc = {acc:.3f} "
           f"(chance for a 24-semitone range ~= 0.04)")
     print(f"| losses: " + " ".join(f"{k}={float(v):.4f}" for k, v in losses.items()))
+    if args.eval_unseen:
+        eval_unseen(base, work, config)
     return 0 if acc > 0.3 else 1
 
 
