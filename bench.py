@@ -417,9 +417,15 @@ def main() -> None:
         "wire": engine.wire,
     }
     try:  # feed the sentinel's last-valid context for future outages —
-        # real-TPU captures only, DEFAULT wire only (an A/B leg with a
-        # lossy wire must not masquerade as the default-config number)
-        if jax.devices()[0].platform == "tpu" and engine.wire == "int16":
+        # real-TPU captures at the DEFAULT configuration only (an A/B wire
+        # leg or a shrunken smoke-test geometry must not masquerade as the
+        # production-geometry number the sentinel exists to preserve)
+        is_default_run = not any(
+            os.environ.get(k) for k in (
+                "SOME_BENCH_WIRE", "SOME_BENCH_B", "SOME_BENCH_T",
+                "SOME_BENCH_ITERS", "SOME_BENCH_PHRASES"),
+        ) and os.environ.get("SOME_BENCH_FILE", "1") == "1"
+        if jax.devices()[0].platform == "tpu" and is_default_run:
             LAST_VALID_PATH.write_text(json.dumps(
                 dict(result, captured_at=time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))))

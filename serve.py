@@ -31,15 +31,16 @@ from some_tpu.inference.pipeline import (MAX_DURATION_SEC, segments_to_json,
                                          slice_waveform)
 
 # DoS guard on the request body itself; the per-request duration gate is
-# MAX_DURATION_SEC, this only bounds what we are willing to buffer (a 20-min
-# 48 kHz stereo float64 WAV is ~920 MB; any legitimate upload fits well under
-# this)
+# MAX_DURATION_SEC, this only bounds what we are willing to buffer. 512 MB
+# covers a MAX_DURATION_SEC (20-min) 48 kHz upload in any sane encoding
+# (float32 stereo ~460 MB, int16 stereo ~230 MB); a float64-stereo WAV of
+# that length (~920 MB) is deliberately rejected 413 — re-encode it.
 MAX_BODY_BYTES = 512 * 1024 * 1024
 
 
 class TranscribeJob:
     __slots__ = ("chunks", "offsets", "tempo", "audio_seconds", "done",
-                 "segments", "error", "abandoned")
+                 "segments", "error", "resolution", "_lock")
 
     def __init__(self, chunks, offsets, tempo, audio_seconds=0.0):
         self.chunks = chunks          # list of waveforms (one per slice)
@@ -49,10 +50,23 @@ class TranscribeJob:
         self.done = threading.Event()
         self.segments = None
         self.error: Optional[str] = None
-        # set by the handler when it gives up (503): the dispatcher drops
-        # abandoned jobs instead of burning device time on work nobody will
-        # receive, and never counts them as completed
-        self.abandoned = False
+        # single-assignment accounting state, claimed atomically by EITHER
+        # the handler ("abandoned", on its 503 timeout) or the dispatcher
+        # ("delivered"/"failed"): without the claim, a timeout landing in
+        # the same instant the dispatcher finishes could count one request
+        # as both a 503 to the client and completed work in /stats
+        self.resolution: Optional[str] = None
+        self._lock = threading.Lock()
+
+    def resolve(self, outcome: str) -> bool:
+        """Claim the job's final accounting state; True iff this call won.
+        The winner's outcome is what /stats records — transitions are
+        None -> value exactly once."""
+        with self._lock:
+            if self.resolution is None:
+                self.resolution = outcome
+                return True
+            return False
 
 
 class BatchingDispatcher:
@@ -116,8 +130,11 @@ class BatchingDispatcher:
     def _run(self) -> None:
         while True:
             batch = self._drain()
-            dropped = [job for job in batch if job.abandoned]
-            batch = [job for job in batch if not job.abandoned]
+            # resolution only ever transitions None -> value, so a job
+            # already claimed "abandoned" can be dropped without burning
+            # device time on work nobody will receive
+            dropped = [job for job in batch if job.resolution == "abandoned"]
+            batch = [job for job in batch if job.resolution != "abandoned"]
             if dropped:
                 with self._lock:
                     self.stats["abandoned_requests"] += len(dropped)
@@ -130,23 +147,28 @@ class BatchingDispatcher:
             try:
                 all_segments = self.engine.infer(waveforms)
             except Exception as exc:  # surface to every caller in the batch
-                with self._lock:
-                    self._busy_since = None
-                    self.stats["failed_requests"] += len(batch)
+                failed = 0
                 for job in batch:
                     job.error = f"{type(exc).__name__}: {exc}"
+                    failed += job.resolve("failed")
                     job.done.set()
+                with self._lock:
+                    self._busy_since = None
+                    self.stats["failed_requests"] += failed
+                    self.stats["abandoned_requests"] += len(batch) - failed
                 continue
             elapsed = time.monotonic() - t0
             pos = 0
+            delivered = []
             for job in batch:
                 job.segments = all_segments[pos:pos + len(job.chunks)]
                 pos += len(job.chunks)
+                # claim BEFORE done.set(): a handler that times out in this
+                # same instant either wins the claim (503, we count
+                # abandoned) or loses it (fields are final, it delivers)
+                if job.resolve("delivered"):
+                    delivered.append(job)
                 job.done.set()
-            # a job whose handler timed out (503) mid-inference finished on
-            # the device but was delivered to nobody: count it abandoned,
-            # not completed
-            delivered = [job for job in batch if not job.abandoned]
             with self._lock:
                 self._busy_since = None
                 self.stats["requests"] += len(delivered)
@@ -257,13 +279,14 @@ def make_server(engine, config: dict, addr: str, port: int,
                 return
             if not job.done.wait(timeout=infer_timeout_s):
                 # a hung device call holds the dispatcher thread forever;
-                # tell the caller instead of hanging the connection with it.
-                # Mark the job abandoned so the dispatcher drops it instead
-                # of burning device time on (and taking stats credit for)
-                # work nobody will receive.
-                job.abandoned = True
-                self._reply_json(503, {"error": "inference backend stalled"})
-                return
+                # tell the caller instead of hanging the connection with it
+                if job.resolve("abandoned"):
+                    self._reply_json(503,
+                                     {"error": "inference backend stalled"})
+                    return
+                # lost the claim race: the dispatcher resolved this job in
+                # the timeout gap; its fields are final (set before the
+                # claim) — fall through and deliver the result after all
             if job.error is not None:
                 self._reply_json(500, {"error": job.error})
             elif as_json:

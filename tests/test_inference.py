@@ -105,7 +105,8 @@ class TestExportRoundtrip:
         exported_out = pipeline(w)
         # compare against a float32-wire engine: the artifact's input
         # contract is float32, while the fixture engine serves the default
-        # packed wire (whose quantization flips random-weight knife edges)
+        # int16 wire, whose rounding of these synthetic (non-PCM-sourced)
+        # floats can flip random-weight knife edges
         from some_tpu.inference.me_infer import MIDIExtractionInference
         eng_f32 = MIDIExtractionInference.from_variables(
             dict(engine.config, transfer_dtype="float32"),
@@ -444,9 +445,10 @@ def test_mulaw12_roundtrip_and_packing():
 
 
 def test_mulaw12_wire_notes_agree():
-    """The default 1.5-byte wire must not change decoded notes vs float32
-    (62 dB quantization noise is transparent to the log-mel frontend; only
-    knife-edge random-weight boundaries may shift by a frame)."""
+    """The opt-in packed 1.5-byte wire: 62 dB quantization noise is nearly
+    transparent to the log-mel frontend — only knife-edge random-weight
+    boundaries may shift (measured 2/179 at prod geometry, which is why
+    int16 stays the default)."""
     import jax
     import jax.numpy as jnp
 
@@ -468,8 +470,8 @@ def test_mulaw12_wire_notes_agree():
     out_f32 = eng_f32.infer([w])[0]
     # random weights put boundary probs near the 0.5 threshold, so even a
     # 62 dB wire may flip one knife-edge boundary on this tiny model —
-    # note-level F1 is the right bar here; exact-1.0 parity at production
-    # geometry is asserted by test_prod_parity (mulaw12 rows, min_f1=1.0)
+    # note-level F1 is the right bar here; the prod-geometry bar (measured
+    # 0.9916) lives in test_prod_parity's mulaw12 rows (min_f1=0.98)
     from some_tpu.utils.note_f1 import note_f1
     from tests.test_onnx_export import _notes_to_events
 

@@ -203,12 +203,19 @@ def test_stalled_backend_times_out_not_hangs():
             assert err.code == 503
             assert b"stalled" in err.read()
         # the dispatcher is still inside the hung infer -> healthz degrades
-        try:
-            urllib.request.urlopen(base + "/healthz", timeout=60)
-            assert False, "expected HTTP 503 from /healthz"
-        except urllib.error.HTTPError as err:
-            assert err.code == 503
-            health = json.loads(err.read())
+        # once busy_seconds crosses the stall threshold; on a contended
+        # core the dispatcher thread may enter the hung call late, so poll
+        deadline = __import__("time").monotonic() + 20
+        while True:
+            try:
+                urllib.request.urlopen(base + "/healthz", timeout=60)
+                assert __import__("time").monotonic() < deadline, \
+                    "healthz never reported the stall"
+                __import__("time").sleep(0.1)
+            except urllib.error.HTTPError as err:
+                assert err.code == 503
+                health = json.loads(err.read())
+                break
         assert health["status"] == "stalled"
         assert health["busy_seconds"] > 0
         # when the hung call finally returns, the 503'd job must be counted

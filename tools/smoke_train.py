@@ -46,7 +46,8 @@ def make_dataset(root: pathlib.Path, rng, n_items=12, max_notes=9):
     wavs.mkdir(parents=True)
     rows = []
     for i in range(n_items):
-        n_notes = int(rng.integers(4, max_notes))
+        lo = min(4, max_notes)
+        n_notes = int(rng.integers(lo, max_notes + 1))
         notes, names, durs = [], [], []
         for _ in range(n_notes):
             if rng.random() < 0.2:
