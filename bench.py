@@ -420,11 +420,10 @@ def main() -> None:
         # real-TPU captures at the DEFAULT configuration only (an A/B wire
         # leg or a shrunken smoke-test geometry must not masquerade as the
         # production-geometry number the sentinel exists to preserve)
-        is_default_run = not any(
-            os.environ.get(k) for k in (
-                "SOME_BENCH_WIRE", "SOME_BENCH_B", "SOME_BENCH_T",
-                "SOME_BENCH_ITERS", "SOME_BENCH_PHRASES"),
-        ) and os.environ.get("SOME_BENCH_FILE", "1") == "1"
+        overrides = ("SOME_BENCH_WIRE", "SOME_BENCH_B", "SOME_BENCH_T",
+                     "SOME_BENCH_ITERS", "SOME_BENCH_PHRASES")
+        is_default_run = (not any(os.environ.get(k) for k in overrides)
+                          and os.environ.get("SOME_BENCH_FILE", "1") == "1")
         if jax.devices()[0].platform == "tpu" and is_default_run:
             LAST_VALID_PATH.write_text(json.dumps(
                 dict(result, captured_at=time.strftime(
