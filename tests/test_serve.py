@@ -328,3 +328,37 @@ def test_failed_jobs_do_not_inflate_rtf():
         assert stats["audio_seconds"] == 0.0 and stats["rtf"] == 0.0
     finally:
         httpd.shutdown()
+
+
+def test_job_resolution_claim_is_atomic():
+    """The handler's 503 path and the dispatcher's delivery path claim a
+    job's accounting state atomically: under many concurrent attempts,
+    exactly one wins, the state never changes after the first claim, and
+    both sides can trust the winner for stats (regression for the
+    timeout/delivery stats race)."""
+    import threading as th
+
+    from serve import TranscribeJob
+
+    for trial in range(200):
+        job = TranscribeJob([], [], 120.0)
+        winners = []
+        barrier = th.Barrier(3)
+
+        def claim(outcome):
+            barrier.wait()
+            if job.resolve(outcome):
+                winners.append(outcome)
+
+        threads = [th.Thread(target=claim, args=("abandoned",)),
+                   th.Thread(target=claim, args=("delivered",)),
+                   th.Thread(target=claim, args=("failed",))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(winners) == 1
+        assert job.resolution == winners[0]
+        # late claims never overwrite the winner
+        assert not job.resolve("delivered")
+        assert job.resolution == winners[0]
