@@ -96,6 +96,8 @@ class BaseInference:
         # (1.5 B/sample, F1 0.99) and mulaw8 (1 B/sample, F1 0.97) — see
         # some_tpu/audio/wire.py and BENCH_NOTES.md.
         self.wire = str(config.get("transfer_dtype", "int16"))
+        if self.wire == "auto":
+            self.wire = self._pick_wire_for_link()
         self.transfer_int16 = self.wire == "int16"
         # frame-bucket table; override per engine to trade pad waste vs
         # compile count (tests shrink it to exercise oversize splitting)
@@ -114,6 +116,32 @@ class BaseInference:
             new_params, qscales = quantize_params(self.variables["params"])
             self.variables = dict(self.variables, params=new_params,
                                   qscales=qscales)
+
+    @staticmethod
+    def _pick_wire_for_link(threshold_mb_s: float = 200.0,
+                            probe_mb: float = 8.0) -> str:
+        """transfer_dtype: auto — one timed host->device transfer at engine
+        startup picks the wire: int16 (lossless for PCM sources) on a
+        healthy link, the packed mulaw12 (1.5 B/sample, measured note-F1
+        0.99 at prod geometry — BENCH_NOTES.md) when the link is slower
+        than ``threshold_mb_s``. The choice is logged; set transfer_dtype
+        explicitly to pin it."""
+        import sys
+        import time as _time
+
+        import jax
+
+        buf = np.zeros(int(probe_mb * (1 << 20) // 2), np.int16)
+        jax.block_until_ready(jax.device_put(buf))  # warm the path
+        t0 = _time.perf_counter()
+        arr = jax.device_put(buf)
+        # force bytes onto the device (the lazy axon backend can defer)
+        np.asarray(arr[:1])
+        mb_s = probe_mb / max(_time.perf_counter() - t0, 1e-9)
+        wire = "int16" if mb_s >= threshold_mb_s else "mulaw12"
+        print(f"| transfer_dtype auto: link ~{mb_s:.0f} MB/s -> {wire}",
+              file=sys.stderr)
+        return wire
 
     @classmethod
     def from_variables(cls, config: dict, variables: dict, **kwargs):

@@ -520,3 +520,30 @@ def test_mulaw_wire_notes_agree():
     assert len(r[0]) > 0
     result = note_f1(r, p, onset_tolerance=0.05, pitch_tolerance=0.5)
     assert result.f1 >= 0.9, result
+
+
+def test_auto_wire_resolves_and_serves():
+    """transfer_dtype: auto picks a concrete wire from a timed link probe
+    at engine construction (int16 on a fast link, mulaw12 on a slow one)
+    and the engine serves normally with the choice."""
+    import jax
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    config = dict(TINY_MODEL_CONFIG, transfer_dtype="auto")
+    model = build_midi_extractor(config, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, 64, 80), np.float32),
+                           mask=np.ones((1, 64), bool))
+    eng = MIDIExtractionInference.from_variables(config, variables,
+                                                 dtype=jnp.float32)
+    assert eng.wire in ("int16", "mulaw12")
+    out = eng.infer([synth(0.5, 440, seed=11)])[0]
+    assert len(out["note_midi"]) == len(out["note_dur"])
+    # threshold edge cases pin the decision rule itself
+    assert MIDIExtractionInference._pick_wire_for_link(
+        threshold_mb_s=0.0) == "int16"
+    assert MIDIExtractionInference._pick_wire_for_link(
+        threshold_mb_s=float("inf")) == "mulaw12"
