@@ -355,18 +355,36 @@ def main() -> None:
     # serve.py): a staging worker pushes batch N+1's wire transfer while
     # batch N computes, so steady-state cost is max(transfer, compute)
     # per batch instead of their sum. Every byte still crosses the link
-    # inside the timed window. serial_rtf keeps the unpipelined number
+    # inside the timed window. Lookahead is BOUNDED (depth 1, double
+    # buffering, same as BaseInference.infer) — staging every batch
+    # upfront head-of-line-blocks compute RPCs behind bulk wire bytes on
+    # a serial link (measured: tools/ab_stream.py, BENCH_NOTES
+    # "Staging-worker A/B"). serial_rtf keeps the unpipelined number
     # (the r1/r2 headline semantics) for cross-round comparability.
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    depth = max(1, int(os.environ.get("SOME_TPU_STREAM_DEPTH", "1")))
     rtf, serial_rtf = 0.0, 0.0
     with ThreadPoolExecutor(max_workers=1) as pool:
         for _ in range(3):
             t0 = time.perf_counter()
-            futs = [pool.submit(engine.stage_inputs, audio_i16, mask)
-                    for _ in range(iters)]
-            for fut in futs:
-                out = engine.run_bucket_staged(*fut.result())
+            queue = deque()
+            submitted = 0
+
+            def push():
+                nonlocal submitted
+                if submitted < iters:
+                    submitted += 1
+                    queue.append(pool.submit(
+                        engine.stage_inputs, audio_i16, mask))
+
+            for _ in range(depth):
+                push()
+            while queue:
+                staged = queue.popleft().result()
+                push()
+                out = engine.run_bucket_staged(*staged)
             _force(out)
             elapsed = time.perf_counter() - t0
             rtf = max(rtf, audio_seconds * iters / elapsed)

@@ -251,25 +251,47 @@ class BaseInference:
                     mask[row, :job["frames"]] = True
                 groups_np.append((group, audio, mask))
 
-        import os
-        if len(groups_np) <= 1 or \
-                os.environ.get("SOME_TPU_STREAM_GROUPS", "1") != "1":
+        depth = self._stream_depth()
+        if len(groups_np) <= 1 or depth == 0:
             pending = [(group, self.run_bucket(audio, mask))
                        for group, audio, mask in groups_np]
         else:
-            # streamed dispatch: the staging worker pushes group N+1's wire
-            # transfer while the main thread's dispatch of group N computes —
-            # on a slow host link device_put blocks the calling thread for
-            # the full wire time, which used to serialize transfer with
-            # compute (VERDICT r2 Next #8)
+            # streamed dispatch with BOUNDED lookahead: a staging worker
+            # pushes group N+1's wire transfer while the main thread's
+            # dispatch of group N computes (VERDICT r2 Next #8). The bound
+            # matters on a shared serial link: the first cut staged EVERY
+            # group upfront, and the bulk wire bytes of groups N+2..end
+            # head-of-line-blocked the compute RPCs of group N — measured
+            # on the TPU tunnel as file-to-file 105x median (swinging
+            # 62-202x) vs a stable 204x serial (tools/ab_stream.py,
+            # BENCH_NOTES "Staging-worker A/B"). Depth 1 = classic double
+            # buffering: at most one group's transfer rides ahead of the
+            # in-flight compute.
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
+            pending = []
             with ThreadPoolExecutor(max_workers=1) as pool:
-                staged = [pool.submit(self.stage_inputs, audio, mask)
-                          for _, audio, mask in groups_np]
-                pending = [
-                    (group, self.run_bucket_staged(*fut.result()))
-                    for (group, _, _), fut in zip(groups_np, staged)]
+                queue: deque = deque()
+                next_idx = 0
+
+                def push():
+                    nonlocal next_idx
+                    if next_idx < len(groups_np):
+                        group, audio, mask = groups_np[next_idx]
+                        next_idx += 1
+                        queue.append(
+                            (group, pool.submit(self.stage_inputs, audio,
+                                                mask)))
+
+                for _ in range(depth):
+                    push()
+                while queue:
+                    group, fut = queue.popleft()
+                    staged = fut.result()
+                    push()  # refill before dispatch: worker stages the next
+                    # group's transfer while this dispatch's compute runs
+                    pending.append((group, self.run_bucket_staged(*staged)))
 
         for group, out in pending:
             out = {k: np.asarray(v) for k, v in out.items()}
@@ -277,6 +299,22 @@ class BaseInference:
                 parts[job["idx"]][job["part"]] = self.assemble(
                     {k: v[row] for k, v in out.items()}, job["frames"])
         return [p[0] if len(p) == 1 else self.merge_parts(p) for p in parts]
+
+    @staticmethod
+    def _stream_depth() -> int:
+        """Staging lookahead for infer(): how many bucket groups may have
+        their wire transfer in flight ahead of the current dispatch.
+        0 = serial (stage+dispatch inline), 1 = double buffering (default),
+        big = stage everything upfront (harmful on serial links — see the
+        measured head-of-line numbers in infer()). SOME_TPU_STREAM_DEPTH
+        overrides; SOME_TPU_STREAM_GROUPS=0 is the legacy kill switch."""
+        import os
+        if os.environ.get("SOME_TPU_STREAM_GROUPS") == "0":
+            return 0
+        try:
+            return max(0, int(os.environ.get("SOME_TPU_STREAM_DEPTH", "1")))
+        except ValueError:
+            return 1
 
     def merge_parts(self, parts: List[Dict[str, np.ndarray]]
                     ) -> Dict[str, np.ndarray]:

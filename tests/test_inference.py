@@ -547,3 +547,27 @@ def test_auto_wire_resolves_and_serves():
         threshold_mb_s=0.0) == "int16"
     assert MIDIExtractionInference._pick_wire_for_link(
         threshold_mb_s=float("inf")) == "mulaw12"
+
+
+def test_stream_depth_output_invariant(engine, monkeypatch):
+    """infer()'s staged dispatch is a pure scheduling change: any lookahead
+    depth (0 = serial, 1 = double buffering, big = stage-all) must produce
+    identical notes for a multi-group workload."""
+    waves = [synth(s, f, seed=i) for i, (s, f) in enumerate(
+        [(0.8, 330), (1.2, 440), (2.6, 392), (3.1, 523), (0.6, 494)])]
+    ref = None
+    for depth in ("0", "1", "8"):
+        monkeypatch.setenv("SOME_TPU_STREAM_DEPTH", depth)
+        out = engine.infer(waves)
+        if ref is None:
+            ref = out
+            continue
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(a["note_midi"], b["note_midi"])
+            np.testing.assert_array_equal(a["note_rest"], b["note_rest"])
+            np.testing.assert_array_equal(a["note_dur"], b["note_dur"])
+    # legacy kill switch still wins over the depth knob
+    monkeypatch.setenv("SOME_TPU_STREAM_GROUPS", "0")
+    monkeypatch.setenv("SOME_TPU_STREAM_DEPTH", "4")
+    from some_tpu.inference.base_infer import BaseInference
+    assert BaseInference._stream_depth() == 0
