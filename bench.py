@@ -442,10 +442,15 @@ def main() -> None:
         # real-TPU captures at the DEFAULT configuration only (an A/B wire
         # leg or a shrunken smoke-test geometry must not masquerade as the
         # production-geometry number the sentinel exists to preserve)
-        overrides = ("SOME_BENCH_WIRE", "SOME_BENCH_B", "SOME_BENCH_T",
-                     "SOME_BENCH_ITERS", "SOME_BENCH_PHRASES")
-        is_default_run = (not any(os.environ.get(k) for k in overrides)
-                          and os.environ.get("SOME_BENCH_FILE", "1") == "1")
+        # ANY SOME_BENCH_* knob except the watchdog budget changes what is
+        # measured (geometry, wire, mel method, quantization, phases) — a
+        # single allowlist beats enumerating the measurement knobs, which
+        # drifted once already (SOME_BENCH_MEL/QUANT/LAY/DIM were missing)
+        harmless = {"SOME_BENCH_TIMEOUT", "SOME_BENCH_RESERVE"}
+        is_default_run = (not any(
+            k.startswith("SOME_BENCH_") and k not in harmless and v
+            for k, v in os.environ.items())
+            and os.environ.get("SOME_TPU_STREAM_DEPTH", "1") == "1")
         if jax.devices()[0].platform == "tpu" and is_default_run:
             LAST_VALID_PATH.write_text(json.dumps(
                 dict(result, captured_at=time.strftime(

@@ -7,12 +7,21 @@ frames -> rFFT magnitude -> HTK/slaney mel matmul -> log(clamp).
 
 Two spectrum methods:
   * 'rfft' — jnp.fft.rfft (XLA's TPU FFT). Default: matches the reference's
-    f32 torch FFT to ~1e-4 in the log-mel domain.
-  * 'dft'  — windowed DFT as two real matmuls on the MXU. The window is
-    folded into the DFT matrices so framing -> matmul -> |.| -> mel matmul is
-    a pure matmul chain XLA can fuse aggressively. Direct summation costs
-    ~1e-2 log-mel accuracy to cancellation at quiet bins; use when the FFT
-    is the bottleneck and downstream tolerance allows.
+    f32 torch FFT to ~1e-4 in the log-mel domain. The spectrum is sliced to
+    the mel filterbank's support before |.| and the mel matmul (exact — the
+    removed bins carry zero weight).
+  * 'dft'  — windowed DFT as two real matmuls on the MXU, truncated to the
+    filterbank support. The window is folded into the DFT matrices so
+    framing -> matmul -> |.| -> mel matmul is a pure matmul chain. Measured
+    +10.6% whole-pipeline compute RTF over rfft on-chip (BENCH_NOTES "mel
+    method"), but direct summation costs ~1e-2 log-mel accuracy to
+    cancellation at quiet bins: note-exact at production geometry in f32,
+    flips 3/179 knife-edge notes in bf16 (F1 0.983) on the random-weights
+    prod-parity harness — hence opt-in, per the F1-unchanged default rule.
+    (A two-stage Cooley-Tukey matmul factorization was prototyped and
+    REJECTED: decimation concentrates the cancellation into the final
+    stage with larger operands — measured max log-mel error 5e-3, worse
+    than the direct 2e-3.)
 
 Key-shift augmentation needs data-dependent n_fft and therefore lives on
 host (binarization-time only); see some_tpu/audio/mel.py.
@@ -52,18 +61,22 @@ class LogMelSpec:
         self.basis = jnp.asarray(
             mel_filterbank(sample_rate, self.n_fft, n_mels, fmin, fmax))
 
+        n_bins = self.n_fft // 2 + 1
+        basis_np = np.asarray(self.basis)
+        # exact truncation: only spectrum bins with nonzero mel weight
+        # contribute to the output (fmin..fmax covers ~1/3 of the bins at
+        # the production config). The dft matmuls shrink ~3x; the rfft path
+        # slices the spectrum before |.| and the mel matmul — removed terms
+        # carry exactly-zero weight, so the output is unchanged up to f32
+        # accumulation-order noise (<1e-6, far under the oracle tolerances).
+        used = np.nonzero(basis_np.any(axis=0))[0]
+        k_lo, k_hi = (int(used[0]), int(used[-1]) + 1) if len(used) \
+            else (0, n_bins)
+        self._k_lo, self._k_hi = k_lo, k_hi
+        self.basis_trim = jnp.asarray(basis_np[:, k_lo:k_hi])
+
         if method == "dft":
-            n_bins = self.n_fft // 2 + 1
-            basis_np = np.asarray(self.basis)
-            # exact truncation: only spectrum bins with nonzero mel weight
-            # contribute to the output (fmin..fmax covers ~1/3 of the bins at
-            # the production config), so the DFT matmuls shrink ~3x with
-            # bit-identical mel output
-            used = np.nonzero(basis_np.any(axis=0))[0]
-            k_lo, k_hi = (int(used[0]), int(used[-1]) + 1) if len(used) \
-                else (0, n_bins)
-            self._k_lo, self._k_hi = k_lo, k_hi
-            self.basis_dft = jnp.asarray(basis_np[:, k_lo:k_hi])
+            self.basis_dft = self.basis_trim
             n = np.arange(self.n_fft)[:, None]
             k = np.arange(k_lo, k_hi)[None, :]
             angle = 2.0 * np.pi * n * k / self.n_fft
@@ -115,8 +128,8 @@ class LogMelSpec:
             basis = self.basis_dft
         else:
             spec = jnp.fft.rfft(frames * self.window, axis=-1)
-            magnitude = jnp.abs(spec)
-            basis = self.basis
+            magnitude = jnp.abs(spec[..., self._k_lo:self._k_hi])
+            basis = self.basis_trim
         mel = jnp.einsum("bfk,mk->bfm", magnitude, basis,
                          preferred_element_type=jnp.float32)
         out = jnp.log(jnp.maximum(mel, self.clamp)).astype(self.dtype)

@@ -193,3 +193,54 @@ def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs,
             f"{precision}/{quantize}/{wire} song {song_i}: F1={result.f1:.4f} "
             f"({result.n_match}/{result.n_ref}), "
             f"exact={ref_notes == pred_notes}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("precision,min_f1", [
+    # f32: the direct DFT's ~1e-2 log-mel cancellation noise does not flip
+    # a single note (measured exact, 179/179, byte-identical note stream)
+    ("32-true", 1.0),
+    # bf16: mel noise stacks with bf16 activation noise and flips 3/179
+    # knife-edge notes (measured F1 0.9832) — which is exactly why dft
+    # stays OPT-IN despite its measured +10.6% compute RTF on-chip
+    # (BENCH_NOTES "mel method"): a faster path only earns default status
+    # if F1 is UNCHANGED, the same rule the lossy wires are held to.
+    ("bf16", 0.97),
+])
+def test_prod_scale_midi_parity_dft_mel(oracle_and_ckpt, tmp_path, precision,
+                                        min_f1):
+    """mel_method: dft (windowed DFT as MXU matmuls) vs the torch.stft
+    oracle at production geometry, per-precision bars measured on this
+    harness (see parametrize comments)."""
+    from some_tpu.audio.slicer import SilenceSlicer
+    from some_tpu.audio.wavio import load_wav, save_wav
+    from some_tpu.utils.note_f1 import note_f1
+    from tools.compare_midi import midi_notes_to_arrays
+
+    model, ckpt_dir = oracle_and_ckpt
+    config = prod_config(precision)
+    config["mel_method"] = "dft"
+    slicer = SilenceSlicer(sr=SR, max_sil_kept=1000)
+
+    wave = make_song(1000)
+    wav_path = tmp_path / "song.wav"
+    save_wav(wav_path, wave, SR)
+    midi_pred = tmp_path / f"pred_dft_{precision}.mid"
+    run_cli(ckpt_dir, config, wav_path, midi_pred)
+
+    loaded, _ = load_wav(wav_path, sr=SR, mono=True)
+    chunk_dicts = slicer.slice(loaded)
+    midi_ref_file = torch_pipeline(
+        model, loaded, [c["offset"] for c in chunk_dicts],
+        [c["waveform"] for c in chunk_dicts], tempo=120)
+    midi_ref = tmp_path / "ref.mid"
+    midi_ref_file.save(midi_ref)
+
+    ref_arrays, ref_notes = midi_notes_to_arrays(str(midi_ref))
+    pred_arrays, _ = midi_notes_to_arrays(str(midi_pred))
+    assert len(ref_notes) > 0
+    result = note_f1(ref_arrays, pred_arrays, onset_tolerance=0.05,
+                     pitch_tolerance=0.5)
+    assert result.f1 >= min_f1, (
+        f"dft mel {precision}: F1={result.f1:.4f} "
+        f"({result.n_match}/{result.n_ref})")
