@@ -78,7 +78,20 @@ class BaseInference:
         self.mesh = mesh
         self.model_path = pathlib.Path(model_path)
         self.timestep = config["hop_size"] / config["audio_sample_rate"]
-        self.hop = config["hop_size"]
+        # Half-rate audio wire (config `wire_sr`): the mel filterbank stops
+        # at fmax (8 kHz in production), so audio above wire_sr/2 never
+        # reaches the model. Decimating the waveform by an integer factor
+        # and shrinking win/hop/n_fft by the same factor yields a
+        # mathematically equivalent STFT analysis — identical frame times
+        # (hop/sr invariant), identical FFT bin frequencies (sr/n_fft
+        # invariant), and the half-length periodic hann IS the decimated
+        # full-length one — while halving both wire bytes and mel FLOPs.
+        # The only deviations are the decimation filter's ~1e-5 passband
+        # ripple below fmax and >=115 dB-attenuated aliasing from above
+        # wire_sr - fmax (see wavio.wire_decimation_taps).
+        self.wire_factor = self._resolve_wire_factor(config)
+        self.wire_sr = config["audio_sample_rate"] // self.wire_factor
+        self.hop = config["hop_size"] // self.wire_factor
         self.max_batch_chunks = max_batch_chunks
         if dtype is None:
             # follow the config's precision (same key training uses);
@@ -116,6 +129,30 @@ class BaseInference:
             new_params, qscales = quantize_params(self.variables["params"])
             self.variables = dict(self.variables, params=new_params,
                                   qscales=qscales)
+
+    @staticmethod
+    def _resolve_wire_factor(config: dict) -> int:
+        """Validate `wire_sr` against the mel geometry; return the integer
+        decimation factor (1 = wire at the native rate)."""
+        sr = int(config["audio_sample_rate"])
+        wire_sr = int(config.get("wire_sr") or 0)
+        if not wire_sr or wire_sr == sr:
+            return 1
+        if sr % wire_sr:
+            raise ValueError(f"wire_sr {wire_sr} must divide "
+                             f"audio_sample_rate {sr} evenly")
+        factor = sr // wire_sr
+        hop, win = int(config["hop_size"]), int(config["win_size"])
+        fft = int(config.get("fft_size") or win)
+        if hop % factor or win % factor or fft % factor:
+            raise ValueError(
+                f"wire_sr {wire_sr}: hop/win/fft ({hop}/{win}/{fft}) must "
+                f"all be divisible by the decimation factor {factor}")
+        fmax = float(config.get("fmax") or sr / 2)
+        if fmax > wire_sr / 2:
+            raise ValueError(f"wire_sr {wire_sr} cannot represent "
+                             f"fmax {fmax} (needs wire_sr >= {2 * fmax:.0f})")
+        return factor
 
     @staticmethod
     def _pick_wire_for_link(threshold_mb_s: float = 200.0,
@@ -215,6 +252,14 @@ class BaseInference:
         into one note (parity with the reference's single O(T^2)-attention
         forward over the whole file, base_infer.py:46-53).
         """
+        if self.wire_factor > 1:
+            # Callers hand in native-rate waveforms (slicer chunking stays
+            # byte-identical to the reference's); the wire domain is
+            # internal to the engine. Frame math below (self.hop) is
+            # already in the wire domain.
+            from some_tpu.audio.wavio import decimate_wire
+            waveforms = [decimate_wire(w, self.wire_factor)
+                         for w in waveforms]
         buckets = self.frame_buckets
         max_samples = buckets[-1] * self.hop - 1
         jobs = []

@@ -25,11 +25,20 @@ from some_tpu.ops.melspec import LogMelSpec
 class MIDIExtractionInference(BaseInference):
     def __init__(self, config: dict, model_path, **kwargs):
         super().__init__(config, model_path, **kwargs)
+        # Mel params in the WIRE domain (wire_factor=1 leaves them native):
+        # sr/n_fft and hop/sr are invariant under the division, so the bin
+        # frequencies, filterbank weights, and frame times are identical to
+        # the native-rate analysis; mag_scale compensates the shorter
+        # window's magnitude exactly (see base_infer wire_sr notes).
+        f = self.wire_factor
         self.mel = LogMelSpec(
-            n_mels=config["units_dim"], sample_rate=config["audio_sample_rate"],
-            win_length=config["win_size"], hop_length=config["hop_size"],
+            n_mels=config["units_dim"],
+            sample_rate=config["audio_sample_rate"] // f,
+            win_length=config["win_size"] // f,
+            hop_length=config["hop_size"] // f,
             fmin=config["fmin"], fmax=config["fmax"],
-            method=config.get("mel_method", "rfft"), dtype=jnp.float32)
+            method=config.get("mel_method", "rfft"), dtype=jnp.float32,
+            mag_scale=float(f))
         self.midi_min = config["midi_min"]
         self.midi_max = config["midi_max"]
         self.midi_deviation = config["midi_prob_deviation"]

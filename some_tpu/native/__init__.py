@@ -21,13 +21,39 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC",
-           str(_SRC_DIR / "audio_frontend.cpp"), "-o", str(_LIB_PATH)]
+    # -march=native unlocks the host's widest FMA for the FIR decimator;
+    # retry portable if the flag is rejected (exotic/cross toolchains)
+    base = ["g++", "-O3", "-shared", "-fPIC",
+            str(_SRC_DIR / "audio_frontend.cpp"), "-o", str(_LIB_PATH)]
+    for cmd in (base[:1] + ["-march=native"] + base[1:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
+
+
+def _bind(lib) -> bool:
+    """Declare signatures; False when the cached .so predates a symbol."""
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
+        lib.rms_envelope.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.rms_envelope.restype = None
+        lib.slicer_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        lib.slicer_scan.restype = ctypes.c_int64
+        lib.decimate_fir.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.decimate_fir.restype = None
+    except AttributeError:
         return False
+    return True
 
 
 def get_lib():
@@ -40,25 +66,21 @@ def get_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if not _LIB_PATH.exists() and not _build():
-            _build_failed = True
-            return None
-        try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-        except OSError:
-            _build_failed = True
-            return None
-        lib.rms_envelope.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
-        lib.rms_envelope.restype = None
-        lib.slicer_scan.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
-        lib.slicer_scan.restype = ctypes.c_int64
-        _lib = lib
-        return _lib
+        for attempt in range(2):
+            if (attempt or not _LIB_PATH.exists()) and not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(str(_LIB_PATH))
+            except OSError:
+                _build_failed = True
+                return None
+            if _bind(lib):
+                _lib = lib
+                return _lib
+            # stale cached .so missing a newer symbol: rebuild once
+        _build_failed = True
+        return None
 
 
 def rms_envelope_native(y: np.ndarray, frame_length: int, hop_length: int):
@@ -91,3 +113,20 @@ def slicer_scan_native(rms: np.ndarray, threshold: float, min_interval: int,
         float(threshold), min_interval, min_length, max_sil_kept,
         tags.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), capacity)
     return [(int(tags[2 * i]), int(tags[2 * i + 1])) for i in range(count)]
+
+
+def decimate_fir_native(x: np.ndarray, taps: np.ndarray, factor: int):
+    """Native polyphase FIR decimation (matches scipy resample_poly with
+    odd gain-1 taps — see audio_frontend.cpp), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    taps = np.ascontiguousarray(taps, dtype=np.float32)
+    n_out = (len(x) + factor - 1) // factor
+    out = np.empty(n_out, dtype=np.float32)
+    lib.decimate_fir(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        taps.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(taps),
+        factor, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out)
+    return out

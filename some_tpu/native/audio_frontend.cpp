@@ -117,4 +117,55 @@ int64_t slicer_scan(const double* rms, int64_t total_frames, double threshold,
     return count;
 }
 
+// Polyphase FIR decimator for the half-rate audio wire (wire_sr config
+// key; spec: some_tpu/audio/wavio.py::decimate_wire). Matches
+// scipy.signal.resample_poly(x, 1, factor, window=taps) for ODD-length
+// gain-1 taps: out[i] = sum_k taps[k] * xz[factor*i + k - half], where xz
+// is x zero-extended on both sides and half = n_taps/2 (the filter's
+// integer group delay, trimmed exactly). scipy's generic upfirdn loop
+// measured ~0.16 GMAC/s on this host — too slow to ride the serving hot
+// path; this interior loop auto-vectorizes to the machine's widest FMA.
+// Structure: polyphase decomposition + output-blocked axpy. Writing the
+// inner loop over OUTPUTS (contiguous loads, one FMA per lane, no
+// cross-lane reduction) lets the compiler vectorize under strict FP
+// semantics — a scalar-accumulator dot product is a serial dependency
+// chain gcc will not reassociate (measured 1.8 s vs ~0.05 s for 180 s of
+// audio). Zero taps (half of them for the factor-2 halfband design, whose
+// ideal response has sinc zeros at even offsets) skip their pass entirely.
+void decimate_fir(const float* x, int64_t n, const float* taps,
+                  int64_t n_taps, int64_t factor, float* out, int64_t n_out) {
+    const int64_t half = n_taps / 2;
+    const int64_t A = (n_taps + factor - 1) / factor;  // taps per phase
+    const int64_t M = n_out + A + 1;
+    // phase b holds xz[factor*m + b] where xz is x shifted by the group
+    // delay (zero outside [0, n)); then
+    //   out[i] = sum_b sum_a taps[factor*a + b] * P_b[i + a]
+    std::vector<float> phases(static_cast<size_t>(factor) * M, 0.0f);
+    for (int64_t b = 0; b < factor; ++b) {
+        float* P = phases.data() + b * M;
+        const int64_t j0 = b - half;  // x index at m = 0
+        int64_t m_lo = j0 < 0 ? (-j0 + factor - 1) / factor : 0;
+        int64_t m_hi = (n - 1 - j0) / factor;  // last m with index < n
+        if (m_hi >= M) m_hi = M - 1;
+        for (int64_t m = m_lo; m <= m_hi; ++m) P[m] = x[j0 + factor * m];
+    }
+    const int64_t BLK = 4096;  // out block stays L1-resident across taps
+    for (int64_t s = 0; s < n_out; s += BLK) {
+        const int64_t len = (n_out - s) < BLK ? (n_out - s) : BLK;
+        float* o = out + s;
+        for (int64_t i = 0; i < len; ++i) o[i] = 0.0f;
+        for (int64_t b = 0; b < factor; ++b) {
+            const float* P = phases.data() + b * M + s;
+            for (int64_t a = 0; a < A; ++a) {
+                const int64_t k = factor * a + b;
+                if (k >= n_taps) break;
+                const float t = taps[k];
+                if (t == 0.0f) continue;
+                const float* src = P + a;
+                for (int64_t i = 0; i < len; ++i) o[i] += t * src[i];
+            }
+        }
+    }
+}
+
 }  // extern "C"

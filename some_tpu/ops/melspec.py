@@ -42,7 +42,8 @@ class LogMelSpec:
 
     def __init__(self, n_mels: int, sample_rate: int, win_length: int, hop_length: int,
                  n_fft: int | None = None, fmin: float = 0, fmax: float | None = None,
-                 clamp: float = 1e-5, method: str = "rfft", dtype=jnp.float32):
+                 clamp: float = 1e-5, method: str = "rfft", dtype=jnp.float32,
+                 mag_scale: float = 1.0):
         self.n_fft = win_length if n_fft is None else n_fft
         self.win_length = win_length
         self.hop_length = hop_length
@@ -51,7 +52,13 @@ class LogMelSpec:
         self.method = method
         self.dtype = dtype
 
-        window = hann_window(self.win_length, dtype=np.float64)
+        # mag_scale compensates the STFT magnitude for a shorter analysis
+        # window when the wire audio is decimated (wire_sr): a periodic hann
+        # of length N/f sums to exactly 1/f of the length-N window, so the
+        # magnitude of in-band content scales by 1/f. Folding the factor
+        # into the window (which the dft path folds into its matrices) makes
+        # the compensation exact at zero runtime cost.
+        window = hann_window(self.win_length, dtype=np.float64) * float(mag_scale)
         if self.win_length < self.n_fft:
             pad_l = (self.n_fft - self.win_length) // 2
             w = np.zeros(self.n_fft, dtype=np.float64)

@@ -549,6 +549,55 @@ def test_auto_wire_resolves_and_serves():
         threshold_mb_s=float("inf")) == "mulaw12"
 
 
+def test_halfrate_wire_engine_matches_native(engine):
+    """wire_sr: 22050 — the engine decimates internally (callers still hand
+    in native-rate audio) and must produce the same note stream as the
+    native-rate engine: same counts/durations/rests, pitches within the
+    decimation filter's noise floor (measured ~4e-4 semitones)."""
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+
+    config = dict(TINY_MODEL_CONFIG, wire_sr=22050)
+    eng22 = MIDIExtractionInference.from_variables(
+        config, engine.variables, dtype=jnp.float32)
+    assert eng22.wire_factor == 2 and eng22.hop == 256
+    assert eng22.timestep == engine.timestep
+
+    wave = synth(4.0, 330, seed=5)
+    [native] = engine.infer([wave])
+    [half] = eng22.infer([wave])
+    assert np.array_equal(native["note_dur"], half["note_dur"])
+    assert np.array_equal(native["note_rest"], half["note_rest"])
+    assert len(native["note_midi"]) > 0
+    assert np.abs(native["note_midi"] - half["note_midi"]).max() < 0.05
+
+
+def test_wire_sr_validation_raises():
+    """Geometry that cannot carry the mel analysis is rejected loudly."""
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.nn.model import build_midi_extractor
+
+    import jax
+    config = dict(TINY_MODEL_CONFIG)
+    model = build_midi_extractor(config, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 80), np.float32),
+                           mask=np.ones((1, 64), bool))
+    with pytest.raises(ValueError, match="fmax"):
+        MIDIExtractionInference.from_variables(
+            dict(config, wire_sr=11025), variables, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        MIDIExtractionInference.from_variables(
+            dict(config, wire_sr=12000), variables, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        MIDIExtractionInference.from_variables(
+            dict(config, wire_sr=8820, fmax=4000), variables,
+            dtype=jnp.float32)
+
+
 def test_stream_depth_output_invariant(engine, monkeypatch):
     """infer()'s staged dispatch is a pure scheduling change: any lookahead
     depth (0 = serial, 1 = double buffering, big = stage-all) must produce

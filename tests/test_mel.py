@@ -100,6 +100,37 @@ def test_jax_mel_dft_close_to_rfft(audio):
     assert np.abs(dft - rfft).max() < 0.06
 
 
+def test_halfrate_wire_mel_matches_native(audio):
+    """wire_sr analysis equivalence: decimating the waveform 2x and halving
+    sr/win/hop/n_fft (with mag_scale compensating the shorter window) must
+    reproduce the native-rate log-mel. The division leaves bin frequencies
+    (sr/n_fft), frame times (hop/sr), and the filterbank weights identical;
+    the residual is the decimation filter's passband ripple plus >=115 dB
+    aliasing (see wavio.wire_decimation_taps)."""
+    from some_tpu.audio.wavio import decimate_wire
+
+    native = np.asarray(
+        LogMelSpec(N_MELS, SR, WIN, HOP, fmin=FMIN, fmax=FMAX)(audio))
+    fb_native = mel_filterbank(SR, WIN, N_MELS, FMIN, FMAX)
+    fb_half = mel_filterbank(SR // 2, WIN // 2, N_MELS, FMIN, FMAX)
+    assert np.array_equal(fb_native[:, :fb_half.shape[1]], fb_half)
+
+    half = np.asarray(LogMelSpec(
+        N_MELS, SR // 2, WIN // 2, HOP // 2, fmin=FMIN, fmax=FMAX,
+        mag_scale=2.0)(decimate_wire(audio, 2)))
+    n = min(len(native), len(half))
+    diff = np.abs(native[:n] - half[:n])
+    # Edge frames window the zero-padded signal tail where the decimation
+    # FIR is still rolling in — bound them loosely; interior frames carry
+    # the equivalence claim (same tolerance class as the f32-vs-f64 FFT
+    # bound above; measured mean ~3e-5 on voice-band audio).
+    assert diff.max() < 0.2
+    interior = diff[1:-1]
+    assert interior.mean() < 2e-4, interior.mean()
+    assert np.quantile(interior, 0.99) < 1e-2
+    assert interior.max() < 5e-2
+
+
 def test_jax_mel_batched(audio):
     dev = LogMelSpec(N_MELS, SR, WIN, HOP, fmin=FMIN, fmax=FMAX, method="rfft")
     batch = np.stack([audio, audio * 0.5])

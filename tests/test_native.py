@@ -62,3 +62,47 @@ def test_full_slice_native_vs_python(seed):
     for a, b in zip(native_chunks, py_chunks):
         assert a["offset"] == b["offset"]
         np.testing.assert_array_equal(a["waveform"], b["waveform"])
+
+
+def test_decimate_fir_matches_scipy():
+    """The C++ phase-decomposed FIR decimator (audio_frontend.cpp) must
+    match scipy.signal.resample_poly with the same odd gain-1 taps — the
+    behavioral spec of the wire_sr hot path (wavio.decimate_wire)."""
+    from scipy.signal import resample_poly
+
+    from some_tpu.audio.wavio import wire_decimation_taps
+    from some_tpu.native import decimate_fir_native
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    taps = wire_decimation_taps(2)
+    for n in (7, 64, 129, 130, 1000, 44100 * 3 + 1):
+        x = rng.standard_normal(n).astype(np.float32)
+        ref = resample_poly(x, 1, 2, window=taps).astype(np.float32)
+        got = decimate_fir_native(x, taps, 2)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    # generic factor (the ABI takes any integer factor)
+    from scipy.signal import firwin
+    t3 = firwin(64 * 3 + 1, 1 / 3, window=("kaiser", 12.0)).astype(np.float32)
+    x = rng.standard_normal(100001).astype(np.float32)
+    ref = resample_poly(x, 1, 3, window=t3).astype(np.float32)
+    got = decimate_fir_native(x, t3, 3)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_decimate_wire_uses_native_or_scipy_identically():
+    """decimate_wire output is backend-independent (native fast path vs
+    scipy fallback) within f32 reassociation noise."""
+    from scipy.signal import resample_poly
+
+    from some_tpu.audio.wavio import decimate_wire, wire_decimation_taps
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(44100).astype(np.float32)
+    out = decimate_wire(x, 2)
+    ref = resample_poly(x, 1, 2, window=wire_decimation_taps(2)).astype(np.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    assert np.array_equal(decimate_wire(x, 1), x)

@@ -197,6 +197,58 @@ def test_prod_scale_midi_parity(oracle_and_ckpt, tmp_path, precision, n_songs,
 
 @pytest.mark.slow
 @pytest.mark.parametrize("precision,min_f1", [
+    # Half-rate wire (wire_sr: 22050): win/hop/n_fft shrink with the sample
+    # rate, so the STFT analysis is mathematically equivalent (identical
+    # bin frequencies, frame times, filterbank weights); the residual is
+    # the decimation filter's ~1e-5 passband ripple.
+    # f32: note-exact (179/179) — the analysis equivalence holds.
+    ("32-true", 1.0),
+    # bf16: measured F1 0.9721 — the 5 "flips" are all sub-40 ms micro-
+    # blips at MIDI pitch 14 (18.6 Hz, BELOW the 40 Hz mel fmin) that this
+    # random-weights model hallucinates near the decision threshold; the
+    # ~1e-5 mel delta shifts their onsets ~0.1 s. No audible-band note
+    # changes, but by the F1-UNCHANGED default rule wire_sr stays opt-in,
+    # same as mel_method: dft.
+    ("bf16", 0.97),
+])
+def test_prod_scale_midi_parity_halfrate_wire(oracle_and_ckpt, tmp_path,
+                                              precision, min_f1):
+    from some_tpu.audio.slicer import SilenceSlicer
+    from some_tpu.audio.wavio import load_wav, save_wav
+    from some_tpu.utils.note_f1 import note_f1
+    from tools.compare_midi import midi_notes_to_arrays
+
+    model, ckpt_dir = oracle_and_ckpt
+    config = prod_config(precision)
+    config["wire_sr"] = 22050
+    slicer = SilenceSlicer(sr=SR, max_sil_kept=1000)
+
+    wave = make_song(1000)
+    wav_path = tmp_path / "song.wav"
+    save_wav(wav_path, wave, SR)
+    midi_pred = tmp_path / f"pred_wire22_{precision}.mid"
+    run_cli(ckpt_dir, config, wav_path, midi_pred)
+
+    loaded, _ = load_wav(wav_path, sr=SR, mono=True)
+    chunk_dicts = slicer.slice(loaded)
+    midi_ref_file = torch_pipeline(
+        model, loaded, [c["offset"] for c in chunk_dicts],
+        [c["waveform"] for c in chunk_dicts], tempo=120)
+    midi_ref = tmp_path / "ref.mid"
+    midi_ref_file.save(midi_ref)
+
+    ref_arrays, ref_notes = midi_notes_to_arrays(str(midi_ref))
+    pred_arrays, _ = midi_notes_to_arrays(str(midi_pred))
+    assert len(ref_notes) > 0
+    result = note_f1(ref_arrays, pred_arrays, onset_tolerance=0.05,
+                     pitch_tolerance=0.5)
+    assert result.f1 >= min_f1, (
+        f"wire_sr 22050 {precision}: F1={result.f1:.4f} "
+        f"({result.n_match}/{result.n_ref})")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("precision,min_f1", [
     # f32: the direct DFT's ~1e-2 log-mel cancellation noise does not flip
     # a single note (measured exact, 179/179, byte-identical note stream)
     ("32-true", 1.0),
