@@ -45,6 +45,9 @@ def build_engine(batch_chunks: int = 32):
     config["quantize"] = os.environ.get("SOME_BENCH_QUANT", "none")
     # int16 (default, lossless for PCM sources) | mulaw8 (1-byte lossy wire)
     config["transfer_dtype"] = os.environ.get("SOME_BENCH_WIRE", "int16")
+    # half-rate wire A/B (0 = native rate): halves wire bytes + mel FLOPs
+    # with an equivalent STFT analysis (see base_infer wire_sr notes)
+    config["wire_sr"] = int(os.environ.get("SOME_BENCH_WIRE_SR", 0)) or None
     if config["midi_extractor_args"]["dim"] < 128:
         config["midi_extractor_args"]["attention_heads"] = 2
     model = build_midi_extractor(config, dtype=jnp.bfloat16)
@@ -146,12 +149,14 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
     # device-only time for the same chunk set: re-dispatch each bucket group
     # with device-resident inputs -> the host fraction is what file-to-file
     # adds on top of pure compute
+    from some_tpu.audio.wavio import decimate_wire
     from some_tpu.inference.base_infer import pick_bucket
     groups = {}
     for c in chunks:
-        n_frames = len(c["waveform"]) // engine.hop + 1
+        wire_wave = decimate_wire(c["waveform"], engine.wire_factor)
+        n_frames = len(wire_wave) // engine.hop + 1
         groups.setdefault(pick_bucket(n_frames), []).append(
-            (c["waveform"], n_frames))
+            (wire_wave, n_frames))
     from some_tpu.audio.wire import encode_wire, silence_buffer
     dev_inputs = []
     for bucket, items in sorted(groups.items()):
@@ -188,7 +193,8 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
         waveform, _ = load_wav(wav_path, sr=sr, mono=True)
         cs = SilenceSlicer(sr=sr, max_sil_kept=1000).slice(waveform)
         for c in cs:
-            encode_wire(c["waveform"], engine.wire)
+            encode_wire(decimate_wire(c["waveform"], engine.wire_factor),
+                        engine.wire)
         build_midi_file([c["offset"] for c in cs], segments,
                         tempo=120).save(midi_path)
         host_compute_time = min(host_compute_time, time.perf_counter() - t0)
@@ -329,7 +335,11 @@ def main() -> None:
     B = int(os.environ.get("SOME_BENCH_B", 32))   # chunks per call
     T = int(os.environ.get("SOME_BENCH_T", 1024))  # frames/chunk (~11.9 s)
     iters = int(os.environ.get("SOME_BENCH_ITERS", 5))
-    n_samples = T * engine.hop - 1
+    # native-rate sample count that still yields exactly T frames after the
+    # engine's wire decimation: ceil((T*hop_native - 2)/f) = T*hop_wire - 1
+    # for f in {1, 2}, and (n // hop_native) + 1 == T as well
+    hop_native = engine.hop * engine.wire_factor
+    n_samples = T * hop_native - 2
 
     rng = np.random.default_rng(0)
     t = np.arange(n_samples) / sr
@@ -337,6 +347,13 @@ def main() -> None:
         (0.3 * np.sin(2 * np.pi * (220 + 40 * i) * t)
          + 0.01 * rng.standard_normal(n_samples)).astype(np.float32)
         for i in range(B)])
+    if engine.wire_factor > 1:
+        from some_tpu.audio.wavio import decimate_wire
+        audio = np.stack([decimate_wire(row, engine.wire_factor)
+                          for row in audio])
+        # row length T*hop_wire - 1 may exceed the bucket's max by 0/1
+        # sample depending on parity; clamp to the exact bucket capacity
+        audio = audio[:, :T * engine.hop - 1]
     mask = np.ones((B, T), bool)
 
     def _force(out):
@@ -437,6 +454,7 @@ def main() -> None:
         "file_host_fraction": round(host_fraction, 3),
         "file_host_compute_fraction": round(host_compute_fraction, 3),
         "wire": engine.wire,
+        "wire_sr": engine.wire_sr,
     }
     try:  # feed the sentinel's last-valid context for future outages —
         # real-TPU captures at the DEFAULT configuration only (an A/B wire

@@ -26,7 +26,11 @@ import yaml
 @click.option("--devices", required=False, type=int, default=1,
               help="Data-parallel serving over N local devices (bucket "
               "batches shard over a mesh; 1 = single device)")
-def infer(model, wav, midi, tempo, quantize, devices):
+@click.option("--wire-sr", required=False, type=int, default=None,
+              help="Decimate the host->device audio wire to this rate "
+              "(e.g. 22050): equivalent STFT analysis when fmax fits, half "
+              "the wire bytes and mel FLOPs — see ARCHITECTURE.md")
+def infer(model, wav, midi, tempo, quantize, devices, wire_sr):
     from some_tpu.audio.wavio import load_wav
     from some_tpu.config import print_config
     from some_tpu.inference.base_infer import build_inference
@@ -37,6 +41,8 @@ def infer(model, wav, midi, tempo, quantize, devices):
         config = yaml.safe_load(f)
     if quantize is not None:
         config["quantize"] = quantize
+    if wire_sr is not None:
+        config["wire_sr"] = wire_sr
     print_config(config)
     kwargs = {}
     if devices > 1:
