@@ -204,3 +204,32 @@ def test_flush_only_single_phrase(engine):
     events = st.flush()
     assert len(events) == 1
     assert st.to_midi(tempo=120).serialize() == want
+
+
+def test_stream_with_halfrate_wire_matches_its_offline(engine):
+    """wire_sr is engine-internal: the streaming transcriber feeds
+    native-rate PCM and must produce byte-identical MIDI to the offline
+    pipeline run through the same wire_sr engine."""
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+    from some_tpu.inference.streaming import StreamingTranscriber
+
+    config = dict(TINY_MODEL_CONFIG, transfer_dtype="float32",
+                  wire_sr=22050)
+    eng = MIDIExtractionInference.from_variables(
+        config, engine.variables, dtype=jnp.float32)
+    sr = eng.config["audio_sample_rate"]
+    assert sr == 44100  # callers still see the native rate
+    wave = _song(sr)
+    want = _offline_midi(eng, wave, sr)
+
+    st = StreamingTranscriber(eng)
+    rng = np.random.default_rng(2)
+    pos = 0
+    while pos < len(wave):
+        n = int(rng.integers(500, 40000))
+        st.feed(wave[pos:pos + n])
+        pos += n
+    st.flush()
+    assert st.to_midi(tempo=120).serialize() == want
