@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--lay", type=int, default=8)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--remat-policy", type=str, default="nothing")
+    ap.add_argument("--ablate", type=str, default="none",
+                    choices=["none", "no_dropout", "no_bound_loss",
+                             "no_midi_loss", "no_clip", "valid_fwd"],
+                    help="one-variable train-step ablation: delta vs the "
+                    "unmodified step attributes that component's cost "
+                    "(same method as tools/profile_ablate.py)")
     args = ap.parse_args()
 
     import jax
@@ -45,9 +51,25 @@ def main():
 
     config = _flagship_config(lay=args.lay, dim=args.dim)
     config["remat_policy"] = args.remat_policy
+    if args.ablate == "no_dropout":
+        for k in ("conv_drop", "ffn_latent_drop", "ffn_out_drop",
+                  "attention_drop"):
+            config["midi_extractor_args"][k] = 0.0
+    elif args.ablate == "no_bound_loss":
+        config["use_bound_loss"] = False
+    elif args.ablate == "no_midi_loss":
+        config["use_midi_loss"] = False
+    elif args.ablate == "no_clip":
+        config["clip_grad_norm"] = None
     task = MIDIExtractionTask(config)
     mesh = make_mesh(jax.devices()[:1])
-    train_step = task.make_train_step(mesh)
+    if args.ablate == "valid_fwd":
+        # loss forward only (no grad/optimizer): the fwd:bwd split.
+        # (valid_outputs adds the decode+counter tail — small vs the model.)
+        valid_step = task.make_valid_step(mesh)
+        train_step = lambda state, batch: (state, valid_step(state, batch)[0])  # noqa: E731
+    else:
+        train_step = task.make_train_step(mesh)
 
     B, T, N = args.B, args.T, 64
     rng = np.random.default_rng(0)
@@ -85,6 +107,7 @@ def main():
         "train_rtf": round(frames / per_step / sr_frames, 1),
         "loss": round(float(logs["total_loss"]), 4),
         "remat_policy": args.remat_policy,
+        "ablate": args.ablate,
     }))
 
 
