@@ -316,8 +316,12 @@ def make_server(engine, config: dict, addr: str, port: int,
 @click.option("--infer-timeout-s", required=False, type=float, default=600.0,
               help="Per-request wait on the device pipeline before replying "
                    "503; also the /healthz stall threshold.")
+@click.option("--wire-sr", required=False, type=int, default=None,
+              help="Half-rate host->device audio wire (e.g. 22050): "
+                   "equivalent STFT analysis at half the wire bytes and "
+                   "mel FLOPs — see ARCHITECTURE.md.")
 def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
-          infer_timeout_s):
+          infer_timeout_s, wire_sr):
     import yaml
 
     from some_tpu.inference.base_infer import build_inference
@@ -325,6 +329,8 @@ def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
     model_path = pathlib.Path(model)
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
         config = yaml.safe_load(f)
+    if wire_sr is not None:
+        config["wire_sr"] = wire_sr
     kwargs = {"max_batch_chunks": max_batch_chunks}
     if devices > 1:
         import jax

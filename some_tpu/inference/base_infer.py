@@ -89,6 +89,19 @@ class BaseInference:
         # The only deviations are the decimation filter's ~1e-5 passband
         # ripple below fmax and >=115 dB-attenuated aliasing from above
         # wire_sr - fmax (see wavio.wire_decimation_taps).
+        #
+        # transfer_dtype: auto resolves BEFORE the wire factor because its
+        # slow-link choice is the half-rate wire when the geometry allows
+        # (no audible-band loss, 44.1 KB/s — strictly better quality AND
+        # fewer bytes than mulaw12's 66 KB/s), falling back to mulaw12.
+        wire = str(config.get("transfer_dtype", "int16"))
+        if wire == "auto":
+            wire, auto_wire_sr = self._auto_wire_policy(
+                self._probe_link_mb_s(), config)
+            if auto_wire_sr:
+                config = dict(config, wire_sr=auto_wire_sr)
+                self.config = config
+        self.wire = wire
         self.wire_factor = self._resolve_wire_factor(config)
         self.wire_sr = config["audio_sample_rate"] // self.wire_factor
         self.hop = config["hop_size"] // self.wire_factor
@@ -108,9 +121,6 @@ class BaseInference:
         # note-F1 cost measured on the prod-parity harness: mulaw12
         # (1.5 B/sample, F1 0.99) and mulaw8 (1 B/sample, F1 0.97) — see
         # some_tpu/audio/wire.py and BENCH_NOTES.md.
-        self.wire = str(config.get("transfer_dtype", "int16"))
-        if self.wire == "auto":
-            self.wire = self._pick_wire_for_link()
         self.transfer_int16 = self.wire == "int16"
         # frame-bucket table; override per engine to trade pad waste vs
         # compile count (tests shrink it to exercise oversize splitting)
@@ -155,15 +165,8 @@ class BaseInference:
         return factor
 
     @staticmethod
-    def _pick_wire_for_link(threshold_mb_s: float = 200.0,
-                            probe_mb: float = 8.0) -> str:
-        """transfer_dtype: auto — one timed host->device transfer at engine
-        startup picks the wire: int16 (lossless for PCM sources) on a
-        healthy link, the packed mulaw12 (1.5 B/sample, measured note-F1
-        0.99 at prod geometry — BENCH_NOTES.md) when the link is slower
-        than ``threshold_mb_s``. The choice is logged; set transfer_dtype
-        explicitly to pin it."""
-        import sys
+    def _probe_link_mb_s(probe_mb: float = 8.0) -> float:
+        """One timed host->device transfer at engine startup."""
         import time as _time
 
         import jax
@@ -174,11 +177,33 @@ class BaseInference:
         arr = jax.device_put(buf)
         # force bytes onto the device (the lazy axon backend can defer)
         np.asarray(arr[:1])
-        mb_s = probe_mb / max(_time.perf_counter() - t0, 1e-9)
-        wire = "int16" if mb_s >= threshold_mb_s else "mulaw12"
-        print(f"| transfer_dtype auto: link ~{mb_s:.0f} MB/s -> {wire}",
+        return probe_mb / max(_time.perf_counter() - t0, 1e-9)
+
+    @classmethod
+    def _auto_wire_policy(cls, mb_s: float, config: dict,
+                          threshold_mb_s: float = 200.0):
+        """transfer_dtype: auto — pick (wire, wire_sr or None) for the
+        measured link. Healthy link: int16 at the native rate (lossless for
+        PCM sources). Slow link: the half-rate wire with int16 when the mel
+        geometry allows it (2*fmax <= sr/2 and divisibility — no
+        audible-band loss, prod-harness F1 f32 1.0 / bf16 0.972 with only
+        below-fmin micro-blips moving, and half the bytes of mulaw12),
+        otherwise mulaw12 (1.5 B/sample, measured F1 0.99). The choice is
+        logged; set transfer_dtype / wire_sr explicitly to pin it."""
+        import sys
+
+        wire, wire_sr = "int16", None
+        if mb_s < threshold_mb_s and not config.get("wire_sr"):
+            half = int(config["audio_sample_rate"]) // 2
+            try:
+                cls._resolve_wire_factor(dict(config, wire_sr=half))
+                wire_sr = half
+            except (ValueError, KeyError):
+                wire = "mulaw12"
+        print(f"| transfer_dtype auto: link ~{mb_s:.0f} MB/s -> {wire}"
+              + (f" @ wire_sr {wire_sr}" if wire_sr else ""),
               file=sys.stderr)
-        return wire
+        return wire, wire_sr
 
     @classmethod
     def from_variables(cls, config: dict, variables: dict, **kwargs):

@@ -524,8 +524,9 @@ def test_mulaw_wire_notes_agree():
 
 def test_auto_wire_resolves_and_serves():
     """transfer_dtype: auto picks a concrete wire from a timed link probe
-    at engine construction (int16 on a fast link, mulaw12 on a slow one)
-    and the engine serves normally with the choice."""
+    at engine construction (int16 at the native rate on a fast link; on a
+    slow link the half-rate wire when the mel geometry allows, else
+    mulaw12) and the engine serves normally with the choice."""
     import jax
     import jax.numpy as jnp
 
@@ -542,11 +543,15 @@ def test_auto_wire_resolves_and_serves():
     assert eng.wire in ("int16", "mulaw12")
     out = eng.infer([synth(0.5, 440, seed=11)])[0]
     assert len(out["note_midi"]) == len(out["note_dur"])
-    # threshold edge cases pin the decision rule itself
-    assert MIDIExtractionInference._pick_wire_for_link(
-        threshold_mb_s=0.0) == "int16"
-    assert MIDIExtractionInference._pick_wire_for_link(
-        threshold_mb_s=float("inf")) == "mulaw12"
+    # the decision rule itself, pinned at both ends of the threshold
+    policy = MIDIExtractionInference._auto_wire_policy
+    assert policy(1e9, dict(TINY_MODEL_CONFIG)) == ("int16", None)
+    # slow link + halvable geometry -> half-rate int16 wire
+    assert policy(1.0, dict(TINY_MODEL_CONFIG)) == ("int16", 22050)
+    # slow link, fmax too high for the half rate -> mulaw12 fallback
+    assert policy(1.0, dict(TINY_MODEL_CONFIG, fmax=12000)) == ("mulaw12", None)
+    # user already pinned wire_sr -> respect it, keep int16
+    assert policy(1.0, dict(TINY_MODEL_CONFIG, wire_sr=22050)) == ("int16", None)
 
 
 def test_halfrate_wire_engine_matches_native(engine):
