@@ -335,11 +335,13 @@ def main() -> None:
     B = int(os.environ.get("SOME_BENCH_B", 32))   # chunks per call
     T = int(os.environ.get("SOME_BENCH_T", 1024))  # frames/chunk (~11.9 s)
     iters = int(os.environ.get("SOME_BENCH_ITERS", 5))
-    # native-rate sample count that still yields exactly T frames after the
-    # engine's wire decimation: ceil((T*hop_native - 2)/f) = T*hop_wire - 1
-    # for f in {1, 2}, and (n // hop_native) + 1 == T as well
+    # canonical bucket capacity at the native rate (T*hop - 1 — the same
+    # shape every prior capture, warm_cache.py, and infer()'s padding use);
+    # after decimation ceil((T*hop_native - 1)/2) = T*hop_wire, one past the
+    # wire bucket capacity, and the clamp below trims the tail half-sample
+    # exactly like infer() does
     hop_native = engine.hop * engine.wire_factor
-    n_samples = T * hop_native - 2
+    n_samples = T * hop_native - 1
 
     rng = np.random.default_rng(0)
     t = np.arange(n_samples) / sr

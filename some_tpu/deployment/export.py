@@ -30,10 +30,14 @@ class DeploymentExporter:
 
     def __init__(self, config: dict, model_path, dtype=None):
         engine_kwargs = {} if dtype is None else {"dtype": dtype}
-        # the artifact's input contract is float32 audio (portable,
-        # bit-exact — see module docstring); pin the wire regardless of the
-        # serving default so the traced pipeline has no packed decode
-        config = dict(config, transfer_dtype="float32")
+        # the artifact's input contract is NATIVE-RATE float32 audio
+        # (portable, bit-exact — see module docstring); pin the wire
+        # regardless of the serving defaults so the traced pipeline has no
+        # packed decode AND no half-rate decimation (wire_sr is a live-
+        # serving knob — the host-side FIR cannot ride inside the artifact,
+        # so exporting a decimated-input program would silently analyze
+        # native audio at the wrong rate)
+        config = dict(config, transfer_dtype="float32", wire_sr=None)
         self.engine = self.infer_cls(config=config, model_path=model_path,
                                      **engine_kwargs)
         self.config = config

@@ -277,22 +277,23 @@ class BaseInference:
         into one note (parity with the reference's single O(T^2)-attention
         forward over the whole file, base_infer.py:46-53).
         """
-        if self.wire_factor > 1:
-            # Callers hand in native-rate waveforms (slicer chunking stays
-            # byte-identical to the reference's); the wire domain is
-            # internal to the engine. Frame math below (self.hop) is
-            # already in the wire domain.
-            from some_tpu.audio.wavio import decimate_wire
-            waveforms = [decimate_wire(w, self.wire_factor)
-                         for w in waveforms]
+        # Callers hand in NATIVE-rate waveforms (slicer chunking stays
+        # byte-identical to the reference's); the wire domain is internal.
+        # Frame counts and oversize splits are computed from the NATIVE
+        # length — frames are a time-domain quantity (hop/sr invariant), and
+        # deriving them from the decimated length would add one frame
+        # whenever len % hop_native == hop_native - 1 (ceil rounding),
+        # breaking exact native parity of note durations. Decimation itself
+        # happens per job at encode time below.
         buckets = self.frame_buckets
-        max_samples = buckets[-1] * self.hop - 1
+        hop_native = self.hop * self.wire_factor
+        max_samples = buckets[-1] * hop_native - 1
         jobs = []
         n_parts = [0] * len(waveforms)
         for i, w in enumerate(waveforms):
             for part, start in enumerate(range(0, max(len(w), 1), max_samples)):
                 piece = w[start:start + max_samples]
-                n_frames = len(piece) // self.hop + 1
+                n_frames = len(piece) // hop_native + 1
                 jobs.append({"idx": i, "part": part, "wave": piece,
                              "frames": n_frames,
                              "bucket": pick_bucket(n_frames, buckets)})
@@ -316,7 +317,14 @@ class BaseInference:
                 audio = silence_buffer(self.wire, rows, n_samples)
                 mask = np.zeros((rows, bucket), dtype=bool)
                 for row, job in enumerate(group):
-                    wave = encode_wire(job["wave"][:n_samples], self.wire)
+                    piece = job["wave"]
+                    if self.wire_factor > 1:
+                        from some_tpu.audio.wavio import decimate_wire
+                        # ceil rounding may run 1 sample past the bucket
+                        # capacity; the [:n_samples] clamp drops that tail
+                        # half-sample
+                        piece = decimate_wire(piece, self.wire_factor)
+                    wave = encode_wire(piece[:n_samples], self.wire)
                     audio[row, :len(wave)] = wave
                     mask[row, :job["frames"]] = True
                 groups_np.append((group, audio, mask))

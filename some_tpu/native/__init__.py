@@ -14,7 +14,31 @@ import threading
 import numpy as np
 
 _SRC_DIR = pathlib.Path(__file__).parent
-_LIB_PATH = _SRC_DIR / "libsome_audio.so"
+
+
+def _host_key() -> str:
+    """Short tag identifying this host's ISA extensions. The library is
+    built with -march=native, so a cached .so copied to a different CPU
+    (container image, shared workdir) would load fine and then SIGILL at
+    call time; keying the filename by the CPU flag set makes the existing
+    build-on-miss path handle host changes instead."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo", "r", encoding="utf8") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    key = platform.machine() + ":" + " ".join(sorted(flags.split()))
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
+_LIB_PATH = _SRC_DIR / f"libsome_audio-{_host_key()}.so"
 _lock = threading.Lock()
 _lib = None
 _build_failed = False

@@ -145,7 +145,10 @@ void decimate_fir(const float* x, int64_t n, const float* taps,
         float* P = phases.data() + b * M;
         const int64_t j0 = b - half;  // x index at m = 0
         int64_t m_lo = j0 < 0 ? (-j0 + factor - 1) / factor : 0;
-        int64_t m_hi = (n - 1 - j0) / factor;  // last m with index < n
+        // last m with index < n; C++ division truncates toward zero, so a
+        // negative numerator (possible when half < factor via the generic
+        // ABI) must clamp to -1 explicitly or the fill loop reads past x
+        int64_t m_hi = (n - 1 - j0) < 0 ? -1 : (n - 1 - j0) / factor;
         if (m_hi >= M) m_hi = M - 1;
         for (int64_t m = m_lo; m <= m_hi; ++m) P[m] = x[j0 + factor * m];
     }

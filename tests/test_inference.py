@@ -570,12 +570,19 @@ def test_halfrate_wire_engine_matches_native(engine):
     assert eng22.timestep == engine.timestep
 
     wave = synth(4.0, 330, seed=5)
-    [native] = engine.infer([wave])
-    [half] = eng22.infer([wave])
-    assert np.array_equal(native["note_dur"], half["note_dur"])
-    assert np.array_equal(native["note_rest"], half["note_rest"])
-    assert len(native["note_midi"]) > 0
-    assert np.abs(native["note_midi"] - half["note_midi"]).max() < 0.05
+    # second wave: length ≡ hop-1 (mod hop) — the ceil-rounding case where
+    # deriving frames from the DECIMATED length would add one frame and
+    # desync note durations from the native engine (code-review regression)
+    wave2 = synth(2.0, 440, seed=6)
+    wave2 = wave2[:len(wave2) - (len(wave2) % 512) - 1]
+    assert len(wave2) % 512 == 511
+    natives = engine.infer([wave, wave2])
+    halves = eng22.infer([wave, wave2])
+    for native, half in zip(natives, halves):
+        assert np.array_equal(native["note_dur"], half["note_dur"])
+        assert np.array_equal(native["note_rest"], half["note_rest"])
+        assert len(native["note_midi"]) > 0
+        assert np.abs(native["note_midi"] - half["note_midi"]).max() < 0.05
 
 
 def test_wire_sr_validation_raises():

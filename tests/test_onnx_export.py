@@ -349,3 +349,26 @@ def test_tensor_decoder_negative_varints():
     # the negative int32 it denotes
     arr = _tensor(tensor_proto([1], 6, 5, [(1 << 32) - 3]))
     np.testing.assert_array_equal(arr, np.array([-3], np.int32))
+
+
+def test_exporter_pins_native_rate_wire(tiny_variables, tmp_path):
+    """A config carrying serving knobs (wire_sr, packed transfer_dtype)
+    must NOT leak into the deployment artifact: the artifact's input
+    contract is native-rate float32 audio, and the host-side decimation
+    FIR cannot ride inside the traced program (code-review regression —
+    an exported wire-domain pipeline would silently analyze native audio
+    at the wrong rate)."""
+    import yaml
+
+    from some_tpu.deployment.export import MIDIExtractionExporter
+    from some_tpu.training.checkpoint import save_checkpoint
+
+    ckpt = save_checkpoint(tmp_path, 1, tiny_variables["params"],
+                           tiny_variables.get("batch_stats", {}))
+    config = dict(TINY_MODEL_CONFIG, wire_sr=22050, transfer_dtype="mulaw12")
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+    exporter = MIDIExtractionExporter(config, ckpt)
+    assert exporter.engine.wire_factor == 1
+    assert exporter.engine.wire == "float32"
+    assert exporter.engine.hop == TINY_MODEL_CONFIG["hop_size"]
