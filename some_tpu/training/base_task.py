@@ -177,7 +177,19 @@ class BaseTask:
         self.dp_size = local_mesh_size(mesh)
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        base_rng = jax.random.PRNGKey(self.config["seed"])
+        # Dropout-mask RNG impl. threefry2x32 (JAX default) generates bits
+        # in VPU ALU ops — measured at 35% of the whole 8x512 train step
+        # (0.6 s of 1.728 s at 65k frames, tools/bench_train.py --ablate
+        # no_dropout; remat recomputes every mask in the backward, doubling
+        # it). Default 'rbg' lowers to the TPU hardware generator (XLA
+        # RngBitGenerator): measured 1.344 s/step (+29% training RTF), same
+        # per-seed determinism on a given backend, weaker cross-version
+        # bit-stability guarantees — irrelevant for dropout masks (the
+        # torch reference's mask stream differs anyway). Set
+        # dropout_rng_impl: threefry2x32 for version-stable mask bits.
+        # Param-init and data-order RNG stay threefry.
+        impl = str(self.config.get("dropout_rng_impl", "rbg"))
+        base_rng = jax.random.key(self.config["seed"], impl=impl)
 
         def step_fn(state: TrainState, batch: dict):
             rng = jax.random.fold_in(base_rng, state.step)

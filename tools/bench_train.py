@@ -35,9 +35,18 @@ def main():
     ap.add_argument("--lay", type=int, default=8)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--remat-policy", type=str, default="nothing")
+    ap.add_argument("--rng-impl", type=str, default=None,
+                    help="dropout_rng_impl override (threefry2x32 | rbg)")
+    ap.add_argument("--force-each", action="store_true",
+                    help="fetch every step's loss (not just the last): for "
+                    "NON-donated steps (valid_fwd / fwd_loss_only) the 8 "
+                    "calls are independent programs, and how the lazy axon "
+                    "backend schedules an unforced queue is itself under "
+                    "measurement — compare with/without to attribute")
     ap.add_argument("--ablate", type=str, default="none",
                     choices=["none", "no_dropout", "no_bound_loss",
-                             "no_midi_loss", "no_clip", "valid_fwd"],
+                             "no_midi_loss", "no_clip", "valid_fwd",
+                             "fwd_loss_only"],
                     help="one-variable train-step ablation: delta vs the "
                     "unmodified step attributes that component's cost "
                     "(same method as tools/profile_ablate.py)")
@@ -51,6 +60,8 @@ def main():
 
     config = _flagship_config(lay=args.lay, dim=args.dim)
     config["remat_policy"] = args.remat_policy
+    if args.rng_impl:
+        config["dropout_rng_impl"] = args.rng_impl
     if args.ablate == "no_dropout":
         for k in ("conv_drop", "ffn_latent_drop", "ffn_out_drop",
                   "attention_drop"):
@@ -64,10 +75,19 @@ def main():
     task = MIDIExtractionTask(config)
     mesh = make_mesh(jax.devices()[:1])
     if args.ablate == "valid_fwd":
-        # loss forward only (no grad/optimizer): the fwd:bwd split.
-        # (valid_outputs adds the decode+counter tail — small vs the model.)
+        # the full validation step (losses + decode/metric extras)
         valid_step = task.make_valid_step(mesh)
         train_step = lambda state, batch: (state, valid_step(state, batch)[0])  # noqa: E731
+    elif args.ablate == "fwd_loss_only":
+        # forward + losses, nothing else (no grad, no extras): isolates the
+        # model forward from valid_outputs' decode/counter tail
+        def _fwd(state, batch):
+            rng = jax.random.key(config["seed"])
+            total, (losses, _) = task._loss_and_updates(
+                state.params, state.batch_stats, batch, rng)
+            return dict(losses, total_loss=total)
+        fwd = jax.jit(_fwd)
+        train_step = lambda state, batch: (state, fwd(state, batch))  # noqa: E731
     else:
         train_step = task.make_train_step(mesh)
 
@@ -95,6 +115,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, logs = train_step(state, device_batch)
+        if args.force_each:
+            _ = float(logs["total_loss"])          # force this step now
     _ = float(logs["total_loss"])                  # forces the whole chain
     per_step = (time.perf_counter() - t0) / args.steps
 
@@ -108,6 +130,7 @@ def main():
         "loss": round(float(logs["total_loss"]), 4),
         "remat_policy": args.remat_policy,
         "ablate": args.ablate,
+        "rng_impl": config.get("dropout_rng_impl", "threefry2x32"),
     }))
 
 
