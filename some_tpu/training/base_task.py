@@ -218,11 +218,11 @@ class BaseTask:
             mesh = self.mesh or make_mesh()
         repl = replicated_sharding(mesh)
 
-        def step_fn(state: TrainState, batch: dict):
+        def step_fn(params, batch_stats, batch: dict):
             inputs = self.model_inputs(batch)
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
             outputs = self.model.apply(variables, **inputs)
             losses = self.compute_losses(outputs, batch)
             losses["total_loss"] = sum(losses.values())
@@ -231,8 +231,20 @@ class BaseTask:
 
         # replicated outputs: every process can read losses/extras directly
         # (multi-host validation logs and plots on process 0)
-        self._valid_step = jax.jit(step_fn, in_shardings=(repl, None),
-                                   out_shardings=(repl, repl))
+        jitted = jax.jit(step_fn, in_shardings=(repl, repl, None),
+                         out_shardings=(repl, repl))
+
+        def valid_step(state: TrainState, batch: dict):
+            # The jit arguments are ONLY what the forward reads. Passing the
+            # whole TrainState made every validation call ship the optimizer
+            # state too (2x Adam moments ~= 0.8 GB at 8x512) — dead weight
+            # jit would DCE, but a remote-dispatch client serializes
+            # arguments BEFORE the compiler sees them: measured 10.2 s per
+            # validation batch at B=1 x T=128 through the dev tunnel, pure
+            # argument traffic (tools/bench_train.py --ablate valid_fwd).
+            return jitted(state.params, state.batch_stats, batch)
+
+        self._valid_step = valid_step
         return self._valid_step
 
     # ---- datasets (host plane) ----

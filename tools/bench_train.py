@@ -46,7 +46,7 @@ def main():
     ap.add_argument("--ablate", type=str, default="none",
                     choices=["none", "no_dropout", "no_bound_loss",
                              "no_midi_loss", "no_clip", "valid_fwd",
-                             "fwd_loss_only"],
+                             "valid_fwd_plain", "fwd_loss_only"],
                     help="one-variable train-step ablation: delta vs the "
                     "unmodified step attributes that component's cost "
                     "(same method as tools/profile_ablate.py)")
@@ -78,6 +78,30 @@ def main():
         # the full validation step (losses + decode/metric extras)
         valid_step = task.make_valid_step(mesh)
         train_step = lambda state, batch: (state, valid_step(state, batch)[0])  # noqa: E731
+    elif args.ablate == "valid_fwd_plain":
+        # same forward+losses, but mirroring the INFERENCE engine's arg
+        # discipline exactly: plain (uncommitted) device_put of the
+        # variables once, plain jax.jit with no in_shardings. Discriminates
+        # whether the tunnel's slow per-call argument path is triggered by
+        # NamedSharding-committed arrays (valid_fwd measured ~10 s/call at
+        # B=1 with 0.4 GB params; inference passes the same-sized
+        # device_put variables per call at ~110 ms)
+        def _fwd2(params, batch_stats, batch):
+            inputs = task.model_inputs(batch)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            outputs = task.model.apply(variables, **inputs)
+            losses = task.compute_losses(outputs, batch)
+            return dict(losses, total_loss=sum(losses.values()))
+        fwd2 = jax.jit(_fwd2)
+        placed = None
+
+        def train_step(state, batch):  # noqa: E731
+            nonlocal placed
+            if placed is None:
+                placed = jax.device_put((state.params, state.batch_stats))
+            return state, fwd2(placed[0], placed[1], batch)
     elif args.ablate == "fwd_loss_only":
         # forward + losses, nothing else (no grad, no extras): isolates the
         # model forward from valid_outputs' decode/counter tail
