@@ -229,20 +229,40 @@ class BaseTask:
             extras = self.valid_outputs(outputs, batch)
             return losses, extras
 
-        # replicated outputs: every process can read losses/extras directly
-        # (multi-host validation logs and plots on process 0)
-        jitted = jax.jit(step_fn, in_shardings=(repl, repl, None),
-                         out_shardings=(repl, repl))
+        # Two argument disciplines for the same program:
+        #
+        # * The jit arguments are ONLY what the forward reads — passing the
+        #   whole TrainState shipped the optimizer state (2x Adam moments
+        #   ~= 0.8 GB at 8x512) as dead argument weight a remote-dispatch
+        #   client serializes before the compiler can DCE it.
+        # * Single-process validation feeds PLAIN (uncommitted) device_put
+        #   copies through a PLAIN jit: NamedSharding-COMMITTED arrays are
+        #   re-serialized on every call by the remote-dispatch client,
+        #   measured at 9.74 s/call for the 0.4 GB of 8x512 params at
+        #   B=1 x T=128 vs 0.027 s with plain placement — 360x, pure
+        #   argument traffic (tools/bench_train.py --ablate
+        #   valid_fwd[_plain]). The copy is refreshed per state identity:
+        #   once per validation sweep, not per batch. Multi-process keeps
+        #   the explicitly-sharded jit (replicated outputs so every process
+        #   reads losses/extras; process 0 logs and plots).
+        if jax.process_count() > 1:
+            jitted = jax.jit(step_fn, in_shardings=(repl, repl, None),
+                             out_shardings=(repl, repl))
 
-        def valid_step(state: TrainState, batch: dict):
-            # The jit arguments are ONLY what the forward reads. Passing the
-            # whole TrainState made every validation call ship the optimizer
-            # state too (2x Adam moments ~= 0.8 GB at 8x512) — dead weight
-            # jit would DCE, but a remote-dispatch client serializes
-            # arguments BEFORE the compiler sees them: measured 10.2 s per
-            # validation batch at B=1 x T=128 through the dev tunnel, pure
-            # argument traffic (tools/bench_train.py --ablate valid_fwd).
-            return jitted(state.params, state.batch_stats, batch)
+            def valid_step(state: TrainState, batch: dict):
+                return jitted(state.params, state.batch_stats, batch)
+        else:
+            plain = jax.jit(step_fn)
+            cache = {"key": None, "placed": None}
+
+            def valid_step(state: TrainState, batch: dict):
+                key = id(state.params)
+                if cache["key"] != key:
+                    cache["key"] = key
+                    cache["placed"] = jax.device_put(
+                        (state.params, state.batch_stats))
+                params, batch_stats = cache["placed"]
+                return plain(params, batch_stats, batch)
 
         self._valid_step = valid_step
         return self._valid_step
