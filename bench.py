@@ -154,7 +154,9 @@ def bench_file_to_file(engine, config, tmpdir="/tmp/some_tpu_bench"):
     groups = {}
     for c in chunks:
         wire_wave = decimate_wire(c["waveform"], engine.wire_factor)
-        n_frames = len(wire_wave) // engine.hop + 1
+        # frames from the NATIVE length, exactly like infer() (the
+        # decimated ceil-length adds a frame for lengths == hop-1 mod hop)
+        n_frames = len(c["waveform"]) // (engine.hop * engine.wire_factor) + 1
         groups.setdefault(pick_bucket(n_frames), []).append(
             (wire_wave, n_frames))
     from some_tpu.audio.wire import encode_wire, silence_buffer

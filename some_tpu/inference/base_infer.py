@@ -287,16 +287,33 @@ class BaseInference:
         # happens per job at encode time below.
         buckets = self.frame_buckets
         hop_native = self.hop * self.wire_factor
+        # Oversize split stride: with the half-rate wire active it is
+        # rounded DOWN to the decimation grid so each split boundary is
+        # phase-aligned — the decimated full waveform (computed once, with
+        # true filter context across every interior seam) can then be
+        # sliced exactly per piece. Decimating pieces independently would
+        # zero-pad the FIR at every interior seam, distorting ~64 samples
+        # of real mid-audio signal on each side (code-review r3).
         max_samples = buckets[-1] * hop_native - 1
+        if self.wire_factor > 1:
+            max_samples -= max_samples % self.wire_factor
+            from some_tpu.audio.wavio import decimate_wire
+            wire_waves = [decimate_wire(w, self.wire_factor)
+                          for w in waveforms]
         jobs = []
         n_parts = [0] * len(waveforms)
         for i, w in enumerate(waveforms):
             for part, start in enumerate(range(0, max(len(w), 1), max_samples)):
                 piece = w[start:start + max_samples]
                 n_frames = len(piece) // hop_native + 1
-                jobs.append({"idx": i, "part": part, "wave": piece,
-                             "frames": n_frames,
-                             "bucket": pick_bucket(n_frames, buckets)})
+                job = {"idx": i, "part": part, "wave": piece,
+                       "frames": n_frames,
+                       "bucket": pick_bucket(n_frames, buckets)}
+                if self.wire_factor > 1:
+                    f = self.wire_factor
+                    job["wire_wave"] = wire_waves[i][
+                        start // f:-(-(start + len(piece)) // f)]
+                jobs.append(job)
                 n_parts[i] = part + 1
         parts: List[list] = [[None] * n for n in n_parts]
 
@@ -317,13 +334,11 @@ class BaseInference:
                 audio = silence_buffer(self.wire, rows, n_samples)
                 mask = np.zeros((rows, bucket), dtype=bool)
                 for row, job in enumerate(group):
-                    piece = job["wave"]
-                    if self.wire_factor > 1:
-                        from some_tpu.audio.wavio import decimate_wire
-                        # ceil rounding may run 1 sample past the bucket
-                        # capacity; the [:n_samples] clamp drops that tail
-                        # half-sample
-                        piece = decimate_wire(piece, self.wire_factor)
+                    # wire_wave is the phase-aligned slice of the ONCE-
+                    # decimated waveform (true filter context at interior
+                    # seams); the [:n_samples] clamp drops the ceil-rounding
+                    # tail half-sample at the bucket edge
+                    piece = job.get("wire_wave", job["wave"])
                     wave = encode_wire(piece[:n_samples], self.wire)
                     audio[row, :len(wave)] = wave
                     mask[row, :job["frames"]] = True

@@ -235,16 +235,17 @@ class BaseTask:
         #   whole TrainState shipped the optimizer state (2x Adam moments
         #   ~= 0.8 GB at 8x512) as dead argument weight a remote-dispatch
         #   client serializes before the compiler can DCE it.
-        # * Single-process validation feeds PLAIN (uncommitted) device_put
-        #   copies through a PLAIN jit: NamedSharding-COMMITTED arrays are
-        #   re-serialized on every call by the remote-dispatch client,
-        #   measured at 9.74 s/call for the 0.4 GB of 8x512 params at
-        #   B=1 x T=128 vs 0.027 s with plain placement — 360x, pure
-        #   argument traffic (tools/bench_train.py --ablate
-        #   valid_fwd[_plain]). The copy is refreshed per state identity:
-        #   once per validation sweep, not per batch. Multi-process keeps
-        #   the explicitly-sharded jit (replicated outputs so every process
-        #   reads losses/extras; process 0 logs and plots).
+        # * HOST-resident arrays passed as jit args re-upload on EVERY call
+        #   (measured 9.74 s/call for 0.4 GB of 8x512 params at B=1 x T=128
+        #   through the dev tunnel); device-resident arrays — committed or
+        #   not — pass by reference at ~0.03 s (both measured,
+        #   tools/bench_train.py --ablate valid_fwd[_plain]). The
+        #   single-process wrapper device_puts once per state identity (a
+        #   no-op for already-placed trainer state; one upload per
+        #   validation sweep for host-state callers like checkpoint
+        #   evaluation loops). Multi-process keeps the explicitly-sharded
+        #   jit (replicated outputs so every process reads losses/extras;
+        #   process 0 logs and plots).
         if jax.process_count() > 1:
             jitted = jax.jit(step_fn, in_shardings=(repl, repl, None),
                              out_shardings=(repl, repl))
@@ -253,12 +254,14 @@ class BaseTask:
                 return jitted(state.params, state.batch_stats, batch)
         else:
             plain = jax.jit(step_fn)
+            # keyed by the params OBJECT (held, not just its id — CPython
+            # reuses ids after GC, which would silently serve stale weights
+            # when validating a sequence of loaded checkpoints)
             cache = {"key": None, "placed": None}
 
             def valid_step(state: TrainState, batch: dict):
-                key = id(state.params)
-                if cache["key"] != key:
-                    cache["key"] = key
+                if cache["key"] is not state.params:
+                    cache["key"] = state.params
                     cache["placed"] = jax.device_put(
                         (state.params, state.batch_stats))
                 params, batch_stats = cache["placed"]

@@ -332,6 +332,48 @@ def test_oversized_chunk_splits_instead_of_crashing(engine):
     assert len(out["note_dur"]) <= n_concat
 
 
+def test_oversized_chunk_with_halfrate_wire(engine):
+    """Oversize splitting under wire_sr: splits land on the decimation grid
+    and each piece's wire audio is a phase-aligned slice of the ONCE-
+    decimated waveform (true FIR context at interior seams — independent
+    per-piece decimation zero-padded ~64 real mid-audio samples per seam,
+    code-review r3). The note stream must match the native-rate engine's
+    oversize path."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from some_tpu.inference.me_infer import MIDIExtractionInference
+
+    eng22 = MIDIExtractionInference.from_variables(
+        dict(TINY_MODEL_CONFIG, wire_sr=22050), engine.variables,
+        dtype=jnp.float32)
+    eng22.frame_buckets = (64, 128)
+    eng = copy.copy(engine)
+    eng.frame_buckets = (64, 128)
+    for e in (eng, eng22):
+        if hasattr(e, "_logged_buckets"):
+            del e._logged_buckets
+
+    hop_native = eng.hop
+    sr = eng.config["audio_sample_rate"]
+    wav = synth(300 * hop_native / sr, freq=440.0, seed=21)
+
+    [native] = eng.infer([wav])
+    [half] = eng22.infer([wav])
+    # split boundaries differ by <= wire_factor samples between the two
+    # engines (grid alignment), so durations may legally differ by one
+    # frame at the seams; pitches and structure must agree
+    assert abs(len(native["note_midi"]) - len(half["note_midi"])) <= 1
+    assert abs(float(native["note_dur"].sum())
+               - float(half["note_dur"].sum())) < 0.05
+    n = min(len(native["note_midi"]), len(half["note_midi"]))
+    voiced = ~native["note_rest"][:n] & ~half["note_rest"][:n]
+    if voiced.any():
+        assert np.abs(native["note_midi"][:n][voiced]
+                      - half["note_midi"][:n][voiced]).max() < 0.1
+
+
 def test_seam_merge_semantics(engine):
     """merge_parts joins the note spanning a bucket seam exactly like the
     reference's single whole-file forward would decode it

@@ -74,6 +74,13 @@ def main():
         config["clip_grad_norm"] = None
     task = MIDIExtractionTask(config)
     mesh = make_mesh(jax.devices()[:1])
+    # the trainer always places the state via the mesh (committed
+    # NamedSharding arrays); valid-mode ablations must measure that same
+    # configuration — make_train_step sets task.mesh as a side effect, but
+    # the valid/fwd modes never call it (an earlier round's 10 s/call
+    # "validation pathology" was actually HOST-numpy state re-uploading
+    # per call because place_state was a silent no-op here)
+    task.mesh = mesh
     if args.ablate == "valid_fwd":
         # the full validation step (losses + decode/metric extras)
         valid_step = task.make_valid_step(mesh)
@@ -106,7 +113,8 @@ def main():
         # forward + losses, nothing else (no grad, no extras): isolates the
         # model forward from valid_outputs' decode/counter tail
         def _fwd(state, batch):
-            rng = jax.random.key(config["seed"])
+            rng = jax.random.key(config["seed"],
+                                 impl=config.get("dropout_rng_impl", "rbg"))
             total, (losses, _) = task._loss_and_updates(
                 state.params, state.batch_stats, batch, rng)
             return dict(losses, total_loss=total)
