@@ -86,13 +86,12 @@ def main():
         valid_step = task.make_valid_step(mesh)
         train_step = lambda state, batch: (state, valid_step(state, batch)[0])  # noqa: E731
     elif args.ablate == "valid_fwd_plain":
-        # same forward+losses, but mirroring the INFERENCE engine's arg
-        # discipline exactly: plain (uncommitted) device_put of the
-        # variables once, plain jax.jit with no in_shardings. Discriminates
-        # whether the tunnel's slow per-call argument path is triggered by
-        # NamedSharding-committed arrays (valid_fwd measured ~10 s/call at
-        # B=1 with 0.4 GB params; inference passes the same-sized
-        # device_put variables per call at ~110 ms)
+        # same forward+losses with the variables device_put ONCE outside
+        # the loop (plain jit, no in_shardings) — the discriminator that
+        # settled the 10 s/call mystery: HOST-resident args re-upload per
+        # call; device-resident args (plain here, NamedSharding-committed
+        # in valid_fwd now that task.mesh is set) pass by reference at
+        # ~0.03 s. Both legs stay so the comparison is reproducible.
         def _fwd2(params, batch_stats, batch):
             inputs = task.model_inputs(batch)
             variables = {"params": params}
