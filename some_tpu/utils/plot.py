@@ -24,6 +24,39 @@ def spec_to_figure(spec: np.ndarray, vmin=None, vmax=None):
     return fig
 
 
+def dur_to_figure(dur_gt, dur_pred, txt):
+    """Token-duration alignment figure (reference: utils/plot.py:20-46 —
+    defined upstream but never called; ported for symbol completeness).
+    Two rails of cumulative-duration vlines (gt bottom, pred top), each token
+    label staggered over its span, dotted connectors joining the paired
+    boundaries."""
+    ends_gt = np.cumsum(np.asarray(dur_gt).astype(np.int64))
+    ends_pred = np.cumsum(np.asarray(dur_pred).astype(np.int64))
+    width = max(12, min(48, len(txt) // 2))
+    fig = plt.figure(figsize=(width, 8))
+    plt.vlines(ends_pred, 12, 22, colors="r", label="pred")
+    plt.vlines(ends_gt, 0, 10, colors="b", label="gt")
+
+    def centers(ends):
+        starts = np.concatenate([[0], ends[:-1]])
+        return (starts + ends) / 2
+
+    mid_pred, mid_gt = centers(ends_pred), centers(ends_gt)
+    for i, token in enumerate(txt):
+        stagger = (i % 8) + 1
+        plt.text(mid_pred[i], 12 + stagger, token, size=16,
+                 horizontalalignment="center")
+        plt.text(mid_gt[i], stagger, token, size=16,
+                 horizontalalignment="center")
+        plt.plot([ends_pred[i], ends_gt[i]], [12, 10], color="black",
+                 linewidth=2, linestyle=":")
+    plt.yticks([])
+    plt.xlim(0, max(ends_pred[-1], ends_gt[-1]))
+    fig.legend()
+    fig.tight_layout()
+    return fig
+
+
 def boundary_to_figure(bounds_gt: np.ndarray, bounds_pred: np.ndarray,
                        dur_gt: np.ndarray = None, dur_pred: np.ndarray = None):
     fig = plt.figure(figsize=(12, 6))

@@ -172,3 +172,48 @@ class TestSinusoidalSmoothing:
             sinusoidal_smoothing(np.asarray([1.0, 2.0], np.float32), 1),
             np.asarray([1.0, 2.0], np.float32))
         assert sinusoidal_smoothing(np.zeros(0, np.float32), 5).size == 0
+
+
+class TestPlotHelpers:
+    """Every figure helper renders without error (reference: utils/plot.py).
+    dur_to_figure is dead code upstream (defined, never called) but ported
+    for symbol completeness — the smoke test keeps it alive here."""
+
+    def test_all_figures_render(self):
+        import matplotlib.pyplot as plt
+
+        from some_tpu.utils import plot
+
+        rng = np.random.default_rng(3)
+        figs = [
+            plot.spec_to_figure(rng.random((64, 32))),
+            plot.dur_to_figure(
+                rng.integers(1, 20, 12), rng.integers(1, 20, 12),
+                [f"w{i}" for i in range(12)]),
+            plot.boundary_to_figure(
+                rng.random(100) < 0.1, rng.random(100),
+                dur_gt=np.asarray([30, 40, 30]),
+                dur_pred=np.asarray([28, 44, 28])),
+            plot.pitch_notes_to_figure(
+                60 + rng.standard_normal(100),
+                np.asarray([60.0, 62.0]), np.asarray([50, 50]),
+                np.asarray([False, False]),
+                np.asarray([60.5, 61.5]), np.asarray([48, 52]),
+                np.asarray([False, False])),
+            plot.curve_to_figure(rng.random(50), rng.random(50)),
+            plot.distribution_to_figure(
+                "midi", "pitch", "count", ["C4", "D4"], [3, 5]),
+        ]
+        for fig in figs:
+            assert fig is not None
+            fig.canvas.draw()  # force an actual Agg render
+            plt.close(fig)
+
+    def test_dur_to_figure_single_token(self):
+        import matplotlib.pyplot as plt
+
+        from some_tpu.utils.plot import dur_to_figure
+
+        fig = dur_to_figure(np.asarray([10]), np.asarray([12]), ["la"])
+        fig.canvas.draw()
+        plt.close(fig)

@@ -11,9 +11,13 @@ The lazy axon backend forces the usual discipline: each iteration's wall
 time ends only after the MIDI bytes exist on the host (note arrays fetched),
 so the serial chain is fully executed (CLAUDE.md lazy-backend rule).
 
-  python tools/bench_latency.py [--iters 20] [--phrases 16]
+  python tools/bench_latency.py [--iters 100] [--phrases 16]
 
-Prints one JSON line with percentiles in milliseconds.
+Prints one JSON line with percentiles in milliseconds. The hang-prone
+tunnel is handled like bench.py: a watchdog emits a timeout-sentinel JSON
+line and hard-exits after SOME_BENCH_TIMEOUT seconds (default 1800), so a
+dead device can never hang the tool silently. p99 is only reported when
+the sample count supports it (>=50 iters); below that the max stands in.
 """
 from __future__ import annotations
 
@@ -34,13 +38,36 @@ import numpy as np
 
 def _percentiles(samples_ms):
     s = np.sort(np.asarray(samples_ms))
-    return {
+    out = {
         "p50_ms": round(float(np.percentile(s, 50)), 1),
         "p90_ms": round(float(np.percentile(s, 90)), 1),
-        "p99_ms": round(float(np.percentile(s, 99)), 1),
         "min_ms": round(float(s[0]), 1),
         "max_ms": round(float(s[-1]), 1),
     }
+    # p99 from <50 samples is just an interpolation between the two slowest
+    # draws (effectively the max); report it only when N supports it
+    if len(s) >= 50:
+        out["p99_ms"] = round(float(np.percentile(s, 99)), 1)
+    return out
+
+
+def _watchdog(seconds: float):
+    """Same contract as bench.py's: the axon tunnel can block forever inside
+    a device call; emit a sentinel JSON line and hard-exit instead of
+    stalling the harness."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "serving_latency_ms", "value": 0.0,
+            "unit": f"TIMEOUT after {seconds}s — TPU backend unresponsive",
+        }), flush=True)
+        os._exit(3)
+
+    timer = threading.Timer(seconds, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
 
 
 def _request(engine, waveform, sr):
@@ -56,10 +83,16 @@ def _request(engine, waveform, sr):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--phrases", type=int, default=16,
                     help="phrases in the full-song case (~11.2 s each)")
+    ap.add_argument("--song-iters", type=int, default=None,
+                    help="iterations for the full-song case (default: "
+                         "max(20, iters // 4) — each one moves ~16x the "
+                         "bytes of a phrase)")
     args = ap.parse_args()
+
+    watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
 
     from bench import _make_song_wav, build_engine
     from some_tpu.audio.wavio import load_wav
@@ -69,28 +102,30 @@ def main():
     tmpdir = pathlib.Path("/tmp/some_tpu_bench_lat")
     tmpdir.mkdir(exist_ok=True)
 
+    song_iters = args.song_iters or max(20, args.iters // 4)
     cases = {}
-    for name, n_phrases in (("phrase_12s", 1), (f"song_{args.phrases}x11s",
-                                                args.phrases)):
+    for name, n_phrases, iters in (
+            ("phrase_12s", 1, args.iters),
+            (f"song_{args.phrases}x11s", args.phrases, song_iters)):
         wav = tmpdir / f"{name}.wav"
         audio_seconds = _make_song_wav(wav, sr, n_phrases=n_phrases)
         waveform, _ = load_wav(wav, sr=sr, mono=True)
         _request(engine, waveform, sr)  # warm every bucket this case hits
         samples = []
-        for _ in range(args.iters):
+        for _ in range(iters):
             t0 = time.perf_counter()
             smf = _request(engine, waveform, sr)
             samples.append((time.perf_counter() - t0) * 1e3)
             assert len(smf) > 20
-        cases[name] = dict(_percentiles(samples),
+        cases[name] = dict(_percentiles(samples), iters=iters,
                            audio_seconds=round(audio_seconds, 1),
                            rtf_at_p50=round(
                                audio_seconds * 1e3 / np.percentile(
                                    np.sort(samples), 50), 1))
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "serving_latency_ms",
-        "iters": args.iters,
         "unit": ("wall ms per request: slice -> wire encode -> transfer -> "
                  "jitted pipeline -> note fetch -> SMF bytes, warm engine, "
                  "1 chip"),
