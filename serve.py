@@ -188,6 +188,11 @@ class BatchingDispatcher:
             stats = dict(self.stats)
         stats["rtf"] = (stats["audio_seconds"] / stats["device_seconds"]
                         if stats["device_seconds"] else 0.0)
+        stats["wire"] = getattr(self.engine, "wire", None)
+        if getattr(self.engine, "wire_decision", None) is not None:
+            # live view of the TTL-cadence auto-wire policy (re-probed inside
+            # engine.infer, so long-running servers track link flaps)
+            stats["wire_decision"] = self.engine.wire_decision
         return stats
 
 

