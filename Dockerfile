@@ -20,6 +20,10 @@ RUN pip install --no-cache-dir \
 RUN pip install --no-cache-dir torch --index-url https://download.pytorch.org/whl/cpu
 
 WORKDIR /app
+# Bound glibc's per-thread malloc arenas: the serving stack moves multi-MB
+# WAV bodies across pooled handler threads, and unbounded arenas fragment
+# RSS under concurrency (measured in tools/bench_serve.py's soak).
+ENV MALLOC_ARENA_MAX=2
 COPY some_tpu ./some_tpu
 COPY configs ./configs
 COPY tools ./tools

@@ -200,6 +200,7 @@ def make_server(engine, config: dict, addr: str, port: int,
                 max_wait_ms: float = 25.0, infer_timeout_s: float = 600.0):
     """Build (but do not start) the HTTP server; returns (httpd, dispatcher).
     Split from serve() so tests can drive it in-process."""
+    from concurrent.futures import ThreadPoolExecutor
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from some_tpu.audio.wavio import load_wav
@@ -302,7 +303,36 @@ def make_server(engine, config: dict, addr: str, port: int,
                 midi = build_midi_file(job.offsets, job.segments, tempo=tempo)
                 self._reply(200, midi.serialize(), "audio/midi")
 
-    httpd = ThreadingHTTPServer((addr, port), Handler)
+    class PooledHTTPServer(ThreadingHTTPServer):
+        """Bounded handler pool instead of a thread per connection.
+
+        ThreadingHTTPServer spawns a fresh thread for every request — under
+        load spikes that is unbounded thread creation (the dispatcher queue
+        bounds the WORK backlog; this bounds the SOCKET one), and the
+        per-transient-thread multi-MB WAV buffers churn glibc arenas (the
+        soak harness measured oscillating RSS, +154/+43/-80/+19 MB over
+        consecutive 48-request bursts — fragmentation, not a leak: the
+        sequential path is flat). A fixed pool reuses threads; cap arena
+        count with MALLOC_ARENA_MAX=2 in the environment (set in the
+        Dockerfile) to keep long-soak RSS tight."""
+
+        pool_size = 32
+
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.pool_size,
+                thread_name_prefix="serve-handler")
+
+        def process_request(self, request, client_address):
+            self._pool.submit(
+                self.process_request_thread, request, client_address)
+
+        def server_close(self):
+            super().server_close()
+            self._pool.shutdown(wait=False)
+
+    httpd = PooledHTTPServer((addr, port), Handler)
     return httpd, dispatcher
 
 
@@ -325,8 +355,14 @@ def make_server(engine, config: dict, addr: str, port: int,
               help="Half-rate host->device audio wire (e.g. 22050): "
                    "equivalent STFT analysis at half the wire bytes and "
                    "mel FLOPs — see ARCHITECTURE.md.")
+@click.option("--prewarm", required=False, default=None, metavar="T1,T2,..",
+              help="Frame buckets to compile BEFORE accepting traffic "
+                   "(each warmed across the 1..8 row buckets), e.g. "
+                   "'768,1024' for phrase-sized requests. Without it the "
+                   "first request to hit a cold (rows, frames) program "
+                   "pays its compile (measured 92 s on the TPU tunnel).")
 def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
-          infer_timeout_s, wire_sr):
+          infer_timeout_s, wire_sr, prewarm):
     import yaml
 
     from some_tpu.inference.base_infer import build_inference
@@ -343,6 +379,10 @@ def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
         from some_tpu.parallel.mesh import make_mesh
         kwargs["mesh"] = make_mesh(jax.devices()[:devices])
     engine = build_inference(config, model_path, **kwargs)
+    if prewarm:
+        buckets = [int(b) for b in prewarm.split(",") if b.strip()]
+        n = engine.prewarm(buckets)
+        print(f"| prewarmed {n} bucket programs ({prewarm} frames x 1..8 rows)")
     httpd, _ = make_server(engine, config, addr, port,
                            max_wait_ms=max_wait_ms,
                            infer_timeout_s=infer_timeout_s)

@@ -457,6 +457,38 @@ class BaseInference:
                     {k: v[row] for k, v in out.items()}, job["frames"])
         return [p[0] if len(p) == 1 else self.merge_parts(p) for p in parts]
 
+    def prewarm(self, frame_buckets, rows=(1, 2, 3, 4, 6, 8)) -> int:
+        """Compile (or load from the persistent cache) the (rows, frames)
+        bucket programs BEFORE traffic arrives, so no real request ever pays
+        a compile stall. Measured on the tunnel: an uncompiled row bucket
+        landing mid-traffic cost a request 92 s (tools/bench_serve.py,
+        BENCH_NOTES 'Serving on hardware'); prewarmed, the same load's worst
+        request was under 0.7 s. Serving surfaces expose this as
+        serve.py --prewarm. Returns the number of programs touched.
+
+        The warm rows are all-padding (mask all-False — identical to the
+        production row-padding path), so the run costs one dispatch each and
+        decodes to zero notes."""
+        count = 0
+        for n_frames in frame_buckets:
+            if n_frames not in self.frame_buckets:
+                raise ValueError(f"{n_frames} is not a frame bucket "
+                                 f"(have {self.frame_buckets})")
+            n_samples = n_frames * self.hop - 1
+            done = set()
+            for r in rows:
+                r = pick_batch_bucket(r, min(self.max_batch_chunks,
+                                             max(rows)))
+                if r in done:
+                    continue
+                done.add(r)
+                audio = silence_buffer(self.wire, r, n_samples)
+                mask = np.zeros((r, n_frames), dtype=bool)
+                out = self.run_bucket(audio, mask)
+                np.asarray(out["n_notes"])[:1]  # force execution (lazy axon)
+                count += 1
+        return count
+
     @staticmethod
     def _stream_depth() -> int:
         """Staging lookahead for infer(): how many bucket groups may have

@@ -727,3 +727,14 @@ def test_auto_wire_reprobe_notices_flapping_link(monkeypatch):
     again = eng.infer([wav])[0]
     assert eng.wire_factor == 1
     np.testing.assert_allclose(again["note_midi"], fast["note_midi"], atol=1e-6)
+
+
+def test_prewarm_compiles_row_buckets(engine):
+    """prewarm touches each (rows, frames) program with all-padding rows and
+    later real traffic on those shapes produces normal output."""
+    n = engine.prewarm([256], rows=(1, 2))
+    assert n == 2
+    with pytest.raises(ValueError):
+        engine.prewarm([999])  # not a bucket
+    out = engine.infer([synth(1.0, 440, seed=4)])[0]
+    assert len(out["note_midi"]) > 0

@@ -46,7 +46,8 @@ def main():
     ap.add_argument("--ablate", type=str, default="none",
                     choices=["none", "no_dropout", "no_bound_loss",
                              "no_midi_loss", "no_clip", "valid_fwd",
-                             "valid_fwd_plain", "fwd_loss_only"],
+                             "valid_fwd_plain", "fwd_loss_only",
+                             "grad_only"],
                     help="one-variable train-step ablation: delta vs the "
                     "unmodified step attributes that component's cost "
                     "(same method as tools/profile_ablate.py)")
@@ -119,6 +120,22 @@ def main():
             return dict(losses, total_loss=total)
         fwd = jax.jit(_fwd)
         train_step = lambda state, batch: (state, fwd(state, batch))  # noqa: E731
+    elif args.ablate == "grad_only":
+        # forward + backward + grad-norm, NO optimizer/clip apply: the
+        # (full - grad_only) delta is the AdamW update + donation overhead;
+        # (grad_only - fwd_loss_only) is the backward pass
+        def _grad(state, batch):
+            rng = jax.random.key(config["seed"],
+                                 impl=config.get("dropout_rng_impl", "rbg"))
+            grad_fn = jax.value_and_grad(task._loss_and_updates,
+                                         has_aux=True)
+            (total, (losses, _)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
+            import optax
+            return dict(losses, total_loss=total,
+                        grad_norm=optax.global_norm(grads))
+        grad = jax.jit(_grad)
+        train_step = lambda state, batch: (state, grad(state, batch))  # noqa: E731
     else:
         train_step = task.make_train_step(mesh)
 
@@ -161,7 +178,7 @@ def main():
         "loss": round(float(logs["total_loss"]), 4),
         "remat_policy": args.remat_policy,
         "ablate": args.ablate,
-        "rng_impl": config.get("dropout_rng_impl", "threefry2x32"),
+        "rng_impl": config.get("dropout_rng_impl", "rbg"),  # base_task default
     }))
 
 
