@@ -76,10 +76,15 @@ class BatchingDispatcher:
 
     def __init__(self, engine, max_wait_ms: float = 25.0,
                  max_chunks_per_batch: Optional[int] = None,
-                 max_queue_jobs: int = 256):
+                 max_queue_jobs: int = 256, fast_lane: bool = True):
         self.engine = engine
         self.max_wait = max_wait_ms / 1000.0
         self.max_chunks = max_chunks_per_batch or 4 * engine.max_batch_chunks
+        # fast lane: a job arriving to an EMPTY queue dispatches immediately
+        # instead of waiting max_wait_ms for batch-mates — a lone phrase
+        # pays zero batching tax, while a concurrent burst still batches
+        # (the burst's tail finds a non-empty queue)
+        self.fast_lane = fast_lane
         # bounded: a stalled device + retrying clients must not grow an
         # unbounded backlog of waveforms (submit -> False -> HTTP 429)
         self.jobs: "queue.Queue[TranscribeJob]" = queue.Queue(max_queue_jobs)
@@ -113,6 +118,8 @@ class BatchingDispatcher:
 
     def _drain(self) -> List[TranscribeJob]:
         batch = [self.jobs.get()]  # block for the first job
+        if self.fast_lane and self.jobs.empty():
+            return batch
         deadline = time.monotonic() + self.max_wait
         n_chunks = len(batch[0].chunks)
         while n_chunks < self.max_chunks:
@@ -197,7 +204,8 @@ class BatchingDispatcher:
 
 
 def make_server(engine, config: dict, addr: str, port: int,
-                max_wait_ms: float = 25.0, infer_timeout_s: float = 600.0):
+                max_wait_ms: float = 25.0, infer_timeout_s: float = 600.0,
+                fast_lane: bool = True):
     """Build (but do not start) the HTTP server; returns (httpd, dispatcher).
     Split from serve() so tests can drive it in-process."""
     from concurrent.futures import ThreadPoolExecutor
@@ -206,7 +214,8 @@ def make_server(engine, config: dict, addr: str, port: int,
     from some_tpu.audio.wavio import load_wav
     from some_tpu.utils.midi_file import build_midi_file
 
-    dispatcher = BatchingDispatcher(engine, max_wait_ms=max_wait_ms)
+    dispatcher = BatchingDispatcher(engine, max_wait_ms=max_wait_ms,
+                                    fast_lane=fast_lane)
     sr = config["audio_sample_rate"]
 
     class Handler(BaseHTTPRequestHandler):
@@ -355,6 +364,10 @@ def make_server(engine, config: dict, addr: str, port: int,
               help="Half-rate host->device audio wire (e.g. 22050): "
                    "equivalent STFT analysis at half the wire bytes and "
                    "mel FLOPs — see ARCHITECTURE.md.")
+@click.option("--fast-lane/--no-fast-lane", default=True,
+              help="Dispatch a request arriving to an empty queue "
+                   "immediately (no max-wait-ms batching tax for lone "
+                   "requests; concurrent bursts still batch).")
 @click.option("--prewarm", required=False, default=None, metavar="T1,T2,..",
               help="Frame buckets to compile BEFORE accepting traffic "
                    "(each warmed across the 1..8 row buckets), e.g. "
@@ -362,7 +375,7 @@ def make_server(engine, config: dict, addr: str, port: int,
                    "first request to hit a cold (rows, frames) program "
                    "pays its compile (measured 92 s on the TPU tunnel).")
 def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
-          infer_timeout_s, wire_sr, prewarm):
+          infer_timeout_s, wire_sr, fast_lane, prewarm):
     import yaml
 
     from some_tpu.inference.base_infer import build_inference
@@ -385,7 +398,8 @@ def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
         print(f"| prewarmed {n} bucket programs ({prewarm} frames x 1..8 rows)")
     httpd, _ = make_server(engine, config, addr, port,
                            max_wait_ms=max_wait_ms,
-                           infer_timeout_s=infer_timeout_s)
+                           infer_timeout_s=infer_timeout_s,
+                           fast_lane=fast_lane)
     print(f"| serving on http://{addr}:{port} "
           f"(POST /transcribe, GET /healthz, /stats)")
     httpd.serve_forever()

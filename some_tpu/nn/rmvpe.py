@@ -37,16 +37,31 @@ CENTS_CONST = 1997.3794084376191
 
 
 # ---------------------------------------------------------------- modules
+def _mask_time(x, t_valid):
+    """Zero all frames at time index >= t_valid (axis 1).
+
+    Emulates "the array ends at t_valid with conv zero-padding" inside a
+    longer (bucket-padded) array: BatchNorm maps zero input to a nonzero
+    constant (running stats + beta), so without re-zeroing, values beyond
+    t_valid would leak back into real frames through the next 3x3 conv and
+    break parity with the reference's exact pad-to-32 program."""
+    if t_valid is None:
+        return x
+    t = jnp.arange(x.shape[1])
+    mask = (t < t_valid).reshape((1, -1) + (1,) * (x.ndim - 2))
+    return jnp.where(mask, x, 0)
+
+
 class ConvBlockRes(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, t_valid=None):
         h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
                     name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-5, name="bn1")(h)
-        h = nn.relu(h)
+        h = _mask_time(nn.relu(h), t_valid)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
                     name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
@@ -54,7 +69,7 @@ class ConvBlockRes(nn.Module):
         h = nn.relu(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
-        return h + x
+        return _mask_time(h + x, t_valid)
 
 
 class ResEncoderBlock(nn.Module):
@@ -63,10 +78,13 @@ class ResEncoderBlock(nn.Module):
     pool: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, t_valid=None):
         for i in range(self.n_blocks):
-            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(x, train)
+            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(
+                x, train, t_valid)
         if self.pool:
+            # t_valid is a multiple of 32 >= 2**en_de_layers, so pool windows
+            # never straddle the valid/pad boundary at any level
             pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
             return x, pooled
         return x
@@ -77,7 +95,7 @@ class ResDecoderBlock(nn.Module):
     n_blocks: int = 4
 
     @nn.compact
-    def __call__(self, x, skip, train: bool = False):
+    def __call__(self, x, skip, train: bool = False, t_valid=None):
         # torch ConvTranspose2d(k=3, stride=2, padding=1, output_padding=1)
         # == lhs-dilated conv with flipped kernel, pad (1, 2) per spatial dim
         kernel = self.param(
@@ -89,10 +107,12 @@ class ResDecoderBlock(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-5, name="up_bn")(y)
-        y = nn.relu(y)
+        # t_valid here is the OUTPUT level's valid length (2x the input's)
+        y = _mask_time(nn.relu(y), t_valid)
         y = jnp.concatenate([y, skip], axis=-1)
         for i in range(self.n_blocks):
-            y = ConvBlockRes(self.out_channels, name=f"block_{i}")(y, train)
+            y = ConvBlockRes(self.out_channels, name=f"block_{i}")(
+                y, train, t_valid)
         return y
 
 
@@ -103,35 +123,49 @@ class DeepUnet(nn.Module):
     en_out_channels: int = 16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, t_valid=None):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-5, name="in_bn")(x)
+        x = _mask_time(x, t_valid)
+
+        def tv(level):  # valid frames at downsampling level (t_valid >> level)
+            return None if t_valid is None else t_valid // (1 << level)
+
         skips = []
         channels = self.en_out_channels
         for i in range(self.en_de_layers):
             skip, x = ResEncoderBlock(channels, self.n_blocks,
-                                      name=f"enc_{i}")(x, train)
+                                      name=f"enc_{i}")(x, train, tv(i))
             skips.append(skip)
             channels *= 2
         # intermediate: first block doubles channels, rest keep
+        deep = self.en_de_layers
         x = ResEncoderBlock(channels, self.n_blocks, pool=False,
-                            name="inter_0")(x, train)
+                            name="inter_0")(x, train, tv(deep))
         for i in range(1, self.inter_layers):
             x = ResEncoderBlock(channels, self.n_blocks, pool=False,
-                                name=f"inter_{i}")(x, train)
+                                name=f"inter_{i}")(x, train, tv(deep))
         for i in range(self.en_de_layers):
             channels //= 2
             x = ResDecoderBlock(channels, self.n_blocks,
-                                name=f"dec_{i}")(x, skips[-1 - i], train)
+                                name=f"dec_{i}")(x, skips[-1 - i], train,
+                                                 tv(deep - 1 - i))
         return x
 
 
-def _gru_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
-    """Single-direction GRU over [B, T, C] -> [B, T, H] (torch gate order r,z,n)."""
+def _gru_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool = False, length=None):
+    """Single-direction GRU over [B, T, C] -> [B, T, H] (torch gate order r,z,n).
+
+    With ``length``, steps at time index >= length pass the hidden state
+    through unchanged, so bucket padding beyond ``length`` never enters the
+    recurrence — for the reverse direction this is what makes the scan
+    independent of how far the static bucket extends past the semantic
+    (pad-to-32) length."""
     H = w_hh.shape[1]
     x_proj = jnp.einsum("btc,gc->btg", x, w_ih) + b_ih  # [B, T, 3H]
 
-    def cell(h, xt):
+    def cell(h, step):
+        xt, t = step
         xr, xz, xn = xt[:, :H], xt[:, H:2 * H], xt[:, 2 * H:]
         hr = h @ w_hh[:H].T + b_hh[:H]
         hz = h @ w_hh[H:2 * H].T + b_hh[H:2 * H]
@@ -140,13 +174,17 @@ def _gru_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
         h_new = (1 - z) * n + z * h
+        if length is not None:
+            h_new = jnp.where(t < length, h_new, h)
         return h_new, h_new
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 3H]
+    ts = jnp.arange(x.shape[1])
     if reverse:
         xs = xs[::-1]
+        ts = ts[::-1]
     h0 = jnp.zeros((x.shape[0], H), x.dtype)
-    _, ys = jax.lax.scan(cell, h0, xs)
+    _, ys = jax.lax.scan(cell, h0, (xs, ts))
     if reverse:
         ys = ys[::-1]
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
@@ -156,7 +194,7 @@ class BiGRU(nn.Module):
     hidden: int = 256
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, length=None):
         C = x.shape[-1]
         shape_ih = (3 * self.hidden, C)
         shape_hh = (3 * self.hidden, self.hidden)
@@ -166,14 +204,15 @@ class BiGRU(nn.Module):
             self.param("w_ih_fw", init, shape_ih, jnp.float32),
             self.param("w_hh_fw", init, shape_hh, jnp.float32),
             self.param("b_ih_fw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32),
-            self.param("b_hh_fw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32))
+            self.param("b_hh_fw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32),
+            length=length)
         bw = _gru_scan(
             x,
             self.param("w_ih_bw", init, shape_ih, jnp.float32),
             self.param("w_hh_bw", init, shape_hh, jnp.float32),
             self.param("b_ih_bw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32),
             self.param("b_hh_bw", nn.initializers.zeros, (3 * self.hidden,), jnp.float32),
-            reverse=True)
+            reverse=True, length=length)
         return jnp.concatenate([fw, bw], axis=-1)
 
 
@@ -186,16 +225,18 @@ class E2E0(nn.Module):
     en_out_channels: int = 16
 
     @nn.compact
-    def __call__(self, mel, train: bool = False):
+    def __call__(self, mel, train: bool = False, t_valid=None):
         x = mel[..., None]  # [B, T, M, 1]
         x = DeepUnet(self.en_de_layers, self.inter_layers, self.n_blocks,
-                     self.en_out_channels, name="unet")(x, train)
+                     self.en_out_channels, name="unet")(x, train, t_valid)
         x = nn.Conv(3, (3, 3), padding=1, name="head_conv")(x)  # [B, T, M, 3]
         B, T, M = x.shape[0], x.shape[1], x.shape[2]
         # torch: transpose(1,2).flatten(-2) on [B,3,T,M] -> [B,T,3*M]
         x = jnp.swapaxes(x, 2, 3).reshape(B, T, 3 * M)
         if self.n_gru:
-            x = BiGRU(256, name="gru")(x)
+            # no mask needed after head_conv: the GRU skips t >= t_valid and
+            # everything past the semantic length is trimmed by the caller
+            x = BiGRU(256, name="gru")(x, length=t_valid)
         x = nn.Dense(N_CLASS, name="fc")(x)
         return jax.nn.sigmoid(x)
 
@@ -333,11 +374,27 @@ def convert_rmvpe_state_dict(state: dict, en_de_layers: int = 5,
 
 
 # ---------------------------------------------------------------- wrapper
+def _bucket_frames(sem: int) -> int:
+    """Snap a semantic (pad-to-32) frame count to a geometric bucket.
+
+    Every distinct input shape is a fresh XLA program — through the remote
+    TPU compiler that is minutes per song length, which dominates binarize
+    wall time on any real dataset. Ratio-4/3 buckets snapped to multiples of
+    32 bound the program count to ~16 across 5 s .. 3.5 min songs; the
+    masked forward (t_valid) makes the result bit-independent of how far
+    the bucket extends past the semantic length."""
+    b = 512
+    while b < sem:
+        b = -(-b * 4 // 3)           # ceil(b * 4/3)
+        b = ((b + 31) // 32) * 32
+    return b
+
+
 class RMVPE:
     _cache: dict = {}
 
     def __init__(self, model_path: pathlib.Path | str | None,
-                 hop_length: int = HOP_LENGTH):
+                 hop_length: int = HOP_LENGTH, bucket: bool = True):
         from some_tpu.audio.mel import MelSpec
 
         self.model = E2E0()
@@ -361,8 +418,12 @@ class RMVPE:
         # device-resident reference (host-numpy args would re-upload ~170 MB
         # per call).
         self.variables = jax.device_put(self.variables)
+        self.bucket = bucket
+        # t_valid rides as a traced scalar argument: one compiled program per
+        # BUCKET, shared by every semantic length inside it
         self._forward = jax.jit(
-            lambda variables, mel: self.model.apply(variables, mel))
+            lambda variables, mel, t_valid:
+                self.model.apply(variables, mel, t_valid=t_valid))
 
     @classmethod
     def cached(cls, model_path) -> "RMVPE":
@@ -376,11 +437,20 @@ class RMVPE:
         return cls._cache[key]
 
     def mel2hidden(self, mel: np.ndarray) -> np.ndarray:
-        """mel [T, 128] -> probabilities [1, T, 360], T padded to 32."""
+        """mel [T, 128] -> probabilities [1, T, 360].
+
+        Semantics match the reference's pad-T-to-a-multiple-of-32 forward
+        (reference: modules/rmvpe/inference.py mel2hidden) exactly: the
+        program is padded to a geometric bucket for shape reuse, and the
+        t_valid mask makes everything past the semantic pad-32 length
+        invisible to convs (via re-zeroing) and to the BiGRU (via skipped
+        scan steps)."""
         n_frames = mel.shape[0]
-        pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
-        mel = np.pad(mel, ((0, pad), (0, 0)))
-        hidden = np.asarray(self._forward(self.variables, mel[None]))
+        sem = 32 * ((n_frames - 1) // 32 + 1)
+        total = _bucket_frames(sem) if self.bucket else sem
+        mel = np.pad(mel, ((0, total - n_frames), (0, 0)))
+        hidden = np.asarray(
+            self._forward(self.variables, mel[None], np.int32(sem)))
         return hidden[:, :n_frames]
 
     def infer_from_audio(self, audio: np.ndarray, sample_rate: int = 16000,

@@ -195,3 +195,52 @@ def test_get_pitch_on_sine():
     assert f0.shape == (length,)
     assert uv.shape == (length,)
     assert np.isfinite(f0).all()
+
+
+# ---- bucketed forward: static-shape reuse without changing numerics ----
+def test_bucket_frames_bounds_program_count():
+    from some_tpu.nn.rmvpe import _bucket_frames
+    seen = set()
+    prev = 0
+    for sem in range(32, 36000, 32):
+        b = _bucket_frames(sem)
+        assert b >= sem and b % 32 == 0
+        assert b >= prev  # monotone in sem
+        prev = b
+        seen.add(b)
+    # ~16 programs cover 0.3 s .. 6 min of audio at 16 kHz / hop 160
+    assert len(seen) < 20
+
+
+def test_t_valid_mask_equals_exact_pad(rng):
+    """A bucket-padded forward with t_valid == semantic length must equal
+    the exact-shape forward (the reference's pad-to-32 program)."""
+    model = E2E0(n_blocks=BLOCKS, en_de_layers=LAYERS, inter_layers=INTERS,
+                 en_out_channels=OUT_CH)
+    sem = 64
+    mel = rng.standard_normal((1, sem, MELS)).astype(np.float32)
+    variables = model.init(__import__("jax").random.PRNGKey(3), mel)
+    exact = np.asarray(model.apply(variables, mel))
+    padded = np.pad(mel, ((0, 0), (0, 64), (0, 0)))
+    bucketed = np.asarray(
+        model.apply(variables, padded, t_valid=np.int32(sem)))[:, :sem]
+    np.testing.assert_allclose(bucketed, exact, atol=5e-5, rtol=1e-4)
+    # and with t_valid covering the whole array, masking is a no-op
+    full = np.asarray(model.apply(variables, mel, t_valid=np.int32(sem)))
+    np.testing.assert_allclose(full, exact, atol=5e-5, rtol=1e-4)
+
+
+def test_mel2hidden_bucket_invariance():
+    """RMVPE.mel2hidden returns the same probabilities whether the program
+    rides a 512-frame bucket or the exact pad-32 shape."""
+    from some_tpu.nn.rmvpe import RMVPE, _bucket_frames
+    rng = np.random.default_rng(7)
+    r = RMVPE(None)  # random init, full geometry
+    n = 73           # sem = 96, bucket = 512
+    assert _bucket_frames(96) == 512
+    mel = rng.standard_normal((n, 128)).astype(np.float32)
+    out_bucketed = r.mel2hidden(mel)
+    r.bucket = False
+    out_exact = r.mel2hidden(mel)
+    assert out_bucketed.shape == out_exact.shape == (1, n, 360)
+    np.testing.assert_allclose(out_bucketed, out_exact, atol=5e-5, rtol=1e-4)

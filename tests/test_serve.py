@@ -362,3 +362,76 @@ def test_job_resolution_claim_is_atomic():
         # late claims never overwrite the winner
         assert not job.resolve("delivered")
         assert job.resolution == winners[0]
+
+
+def test_fast_lane_skips_batching_wait():
+    """A lone request arriving to an empty queue must dispatch immediately
+    (no max_wait_ms tax); with the fast lane off it waits the window."""
+    import time
+
+    from serve import BatchingDispatcher, TranscribeJob
+
+    class InstantEngine:
+        max_batch_chunks = 8
+
+        def infer(self, waveforms):
+            return [{"note_midi": np.zeros(0), "note_dur": np.zeros(0),
+                     "note_rest": np.zeros(0, bool)} for _ in waveforms]
+
+    wave = np.zeros(16, np.float32)
+
+    fast = BatchingDispatcher(InstantEngine(), max_wait_ms=1500.0,
+                              fast_lane=True)
+    job = TranscribeJob([wave], [0.0], 120.0)
+    t0 = time.monotonic()
+    assert fast.submit(job)
+    assert job.done.wait(timeout=10)
+    assert time.monotonic() - t0 < 1.0, \
+        "fast lane must not wait the 1.5 s batching window"
+
+    slow = BatchingDispatcher(InstantEngine(), max_wait_ms=400.0,
+                              fast_lane=False)
+    job2 = TranscribeJob([wave], [0.0], 120.0)
+    t0 = time.monotonic()
+    assert slow.submit(job2)
+    assert job2.done.wait(timeout=10)
+    assert time.monotonic() - t0 >= 0.35, \
+        "without the fast lane a lone job waits out max_wait_ms"
+
+
+def test_fast_lane_still_batches_bursts():
+    """Concurrent submissions behind a busy engine must still ride one
+    batch even with the fast lane on (the queue is non-empty when the
+    dispatcher returns to drain)."""
+    import time
+
+    release = threading.Event()
+    calls = []
+
+    class GatedEngine:
+        max_batch_chunks = 8
+
+        def infer(self, waveforms):
+            calls.append(len(waveforms))
+            release.wait(timeout=30)
+            return [{"note_midi": np.zeros(0), "note_dur": np.zeros(0),
+                     "note_rest": np.zeros(0, bool)} for _ in waveforms]
+
+    from serve import BatchingDispatcher, TranscribeJob
+    dispatcher = BatchingDispatcher(GatedEngine(), max_wait_ms=25.0,
+                                    fast_lane=True)
+    wave = np.zeros(16, np.float32)
+    first = TranscribeJob([wave], [0.0], 120.0)
+    assert dispatcher.submit(first)  # fast-laned into the gated infer
+    deadline = time.monotonic() + 10
+    while not calls and time.monotonic() < deadline:
+        time.sleep(0.01)
+    burst = [TranscribeJob([wave], [0.0], 120.0) for _ in range(3)]
+    for job in burst:
+        assert dispatcher.submit(job)
+    release.set()
+    for job in burst:
+        assert job.done.wait(timeout=10)
+    assert first.done.wait(timeout=10)
+    assert calls[0] == 1 and 3 in calls, \
+        f"burst behind a busy engine should batch: calls={calls}"

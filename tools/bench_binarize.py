@@ -1,0 +1,219 @@
+"""Binarize throughput on the real chip: songs/min and the mel/RMVPE split.
+
+SURVEY §7.3 flags the RMVPE BiGRU scan as the binarize latency risk — the
+reference's binarizer runs a second neural forward per item
+(reference: modules/rmvpe/inference.py:56-66). This times the full
+MIDIExtractionBinarizer.process() over a synthetic dataset of VARIED song
+lengths with ``pe: rmvpe`` + mel units (random RMVPE weights: identical
+FLOPs to the published checkpoint), split into:
+
+  units_mel_s      host mel frontend for the units (incl. key-shift aug)
+  rmvpe_s          the whole pitch path (16 kHz mel + forward + decode)
+  rmvpe_forward_s  just mel2hidden (the TPU leg: transfer + E2E0 forward)
+  host_other_s     labels, alignment, HDF5, everything else
+
+Varied lengths exercise the frame-bucketing in RMVPE.mel2hidden: without it
+(--no-bucket) every distinct song length is a fresh XLA program through the
+multi-minute remote compiler. ``rmvpe_programs`` counts distinct compiled
+shapes either way.
+
+  timeout 2400 python tools/bench_binarize.py [--items 8] [--no-bucket]
+
+Prints one JSON line. The hang-prone tunnel is handled like bench.py: a
+watchdog emits a timeout sentinel and hard-exits after SOME_BENCH_TIMEOUT
+seconds (default 1800).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import pathlib
+import shutil
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np
+
+SR = 44100
+
+
+def _watchdog(seconds: float):
+    import threading
+
+    def fire():
+        print(json.dumps({"metric": "binarize_rtf", "value": 0.0,
+                          "unit": "timeout-sentinel",
+                          "error": f"watchdog fired after {seconds}s"}),
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def write_song_dataset(root: pathlib.Path, rng, seconds_list):
+    """Synthetic sung-ish songs, one per requested length (varied lengths
+    are the point: they exercise the per-shape compile story)."""
+    wavs = root / "wavs"
+    wavs.mkdir(parents=True)
+    rows = []
+    for i, total in enumerate(seconds_list):
+        name = f"song{i}"
+        # alternating note/rest pattern filling `total` seconds
+        note_seq, note_dur = [], []
+        t_acc, k = 0.0, 0
+        pitches = ["A3", "C4", "E4", "G3", "B3"]
+        while t_acc < total - 0.4:
+            dur = 0.3 + 0.5 * rng.random()
+            if k % 5 == 4:
+                note_seq.append("rest")
+            else:
+                note_seq.append(pitches[k % len(pitches)])
+            note_dur.append(round(dur, 3))
+            t_acc += dur
+            k += 1
+        note_dur[-1] = round(note_dur[-1] + (total - t_acc), 3)
+        t = np.arange(int(SR * total)) / SR
+        freq = np.zeros_like(t)
+        t0 = 0.0
+        for n, d in zip(note_seq, note_dur):
+            if n != "rest":
+                semitone = {"A3": 220.0, "C4": 261.6, "E4": 329.6,
+                            "G3": 196.0, "B3": 246.9}[n]
+                freq[(t >= t0) & (t < t0 + d)] = semitone
+            t0 += d
+        vib = 1 + 0.003 * np.sin(2 * np.pi * 5 * t)
+        wave = 0.4 * np.sin(2 * np.pi * np.cumsum(freq * vib) / SR)
+        wave *= (freq > 0)
+        wave += 0.002 * rng.standard_normal(len(wave))
+        from some_tpu.audio.wavio import save_wav
+        save_wav(wavs / f"{name}.wav", wave.astype(np.float32), SR)
+        ds = [{"note_seq": " ".join(note_seq),
+               "note_dur": " ".join(str(d) for d in note_dur),
+               "note_slur": " ".join("0" for _ in note_seq)}]
+        (wavs / f"{name}.ds").write_text(json.dumps(ds))
+        rows.append({"name": name,
+                     "ph_seq": " ".join("a" for _ in note_seq),
+                     "ph_dur": " ".join(str(d) for d in note_dur),
+                     "ph_num": " ".join("1" for _ in note_seq)})
+    with open(root / "transcriptions.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["name", "ph_seq", "ph_dur", "ph_num"])
+        w.writeheader()
+        w.writerows(rows)
+    return float(sum(seconds_list))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", type=int, default=8)
+    ap.add_argument("--min-s", type=float, default=4.0)
+    ap.add_argument("--max-s", type=float, default=30.0)
+    ap.add_argument("--no-bucket", action="store_true",
+                    help="disable RMVPE frame bucketing (exact pad-32 "
+                    "shapes: one compile per distinct song length)")
+    ap.add_argument("--aug", type=int, default=1,
+                    help="key_shift_factor (mel recomputes per train item)")
+    args = ap.parse_args()
+
+    watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
+
+    import some_tpu  # noqa: F401
+    from some_tpu.nn.rmvpe import RMVPE, _bucket_frames
+    from some_tpu.preprocessing.me_binarizer import MIDIExtractionBinarizer
+
+    rng = np.random.default_rng(42)
+    root = pathlib.Path("/tmp/some_tpu_bench_binarize/raw")
+    binary = pathlib.Path("/tmp/some_tpu_bench_binarize/binary")
+    shutil.rmtree(root.parent, ignore_errors=True)
+    binary.mkdir(parents=True)
+    seconds_list = list(np.round(
+        np.linspace(args.min_s, args.max_s, args.items), 1))
+    audio_seconds = write_song_dataset(root, rng, seconds_list)
+
+    # random-weights RMVPE preloaded into the class cache (same FLOPs as the
+    # published ckpt; the zero-egress image has no way to fetch the real one)
+    fake_ckpt = "bench://rmvpe-random"
+    rmvpe = RMVPE(None, bucket=not args.no_bucket)
+    RMVPE._cache[fake_ckpt] = rmvpe
+
+    # ---- timing instrumentation (serial: num_workers=0) ----
+    acc = {"units": 0.0, "rmvpe": 0.0, "fwd": 0.0}
+    shapes = set()
+
+    def timed(fn, key):
+        def wrapper(*a, **kw):
+            t0 = time.perf_counter()
+            out = fn(*a, **kw)
+            acc[key] += time.perf_counter() - t0
+            return out
+        return wrapper
+
+    orig_units = MIDIExtractionBinarizer.compute_units
+    orig_pitch = RMVPE.get_pitch
+    orig_fwd = RMVPE.mel2hidden
+    MIDIExtractionBinarizer.compute_units = timed(orig_units, "units")
+    RMVPE.get_pitch = timed(orig_pitch, "rmvpe")
+
+    def fwd(self, mel):
+        t0 = time.perf_counter()
+        sem = 32 * ((mel.shape[0] - 1) // 32 + 1)
+        shapes.add(_bucket_frames(sem) if self.bucket else sem)
+        out = orig_fwd(self, mel)
+        acc["fwd"] += time.perf_counter() - t0
+        return out
+    RMVPE.mel2hidden = fwd
+
+    config = {
+        "raw_data_dir": [str(root)], "binary_data_dir": str(binary),
+        "binarization_args": {"num_workers": 0, "shuffle": True,
+                              "skip_glide": True, "merge_rest": True,
+                              "merge_slur": True, "round_midi": False,
+                              "slur_tolerance": 0.5},
+        "audio_sample_rate": SR, "hop_size": 512, "win_size": 2048,
+        "fmin": 40, "fmax": 8000, "units_dim": 128, "units_encoder": "mel",
+        "pe": "rmvpe", "pe_ckpt": fake_ckpt,
+        "key_shift_factor": args.aug, "key_shift_range": [-3, 3],
+        "test_prefixes": ["song0"], "seed": 1,
+        "midi_min": 0, "midi_max": 127,
+    }
+
+    t0 = time.perf_counter()
+    MIDIExtractionBinarizer(dict(config)).process()
+    wall = time.perf_counter() - t0
+
+    MIDIExtractionBinarizer.compute_units = orig_units
+    RMVPE.get_pitch = orig_pitch
+    RMVPE.mel2hidden = orig_fwd
+    watchdog.cancel()
+
+    host_other = wall - acc["units"] - acc["rmvpe"]
+    print(json.dumps({
+        "metric": "binarize_rtf",
+        "value": round(audio_seconds / wall, 2),
+        "unit": "audio-sec/sec, raw->HDF5 incl. RMVPE pitch",
+        "songs_per_min": round(args.items / wall * 60, 2),
+        "items": args.items,
+        "audio_seconds": round(audio_seconds, 1),
+        "wall_s": round(wall, 2),
+        "split": {"units_mel_s": round(acc["units"], 2),
+                  "rmvpe_s": round(acc["rmvpe"], 2),
+                  "rmvpe_forward_s": round(acc["fwd"], 2),
+                  "host_other_s": round(host_other, 2)},
+        "rmvpe_programs": len(shapes),
+        "bucket": not args.no_bucket,
+        "aug_factor": args.aug,
+        "platform": __import__("jax").devices()[0].platform,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,8 @@ def main() -> None:
     ap.add_argument("--soak", type=int, default=300,
                     help="total requests in the soak phase (0 = skip)")
     ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("--no-fast-lane", action="store_true",
+                    help="disable the empty-queue immediate dispatch (A/B)")
     args = ap.parse_args()
 
     watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
@@ -129,7 +131,8 @@ def main() -> None:
           f"{args.clients})", file=sys.stderr)
 
     httpd, dispatcher = make_server(engine, config, "127.0.0.1", 0,
-                                    max_wait_ms=args.max_wait_ms)
+                                    max_wait_ms=args.max_wait_ms,
+                                    fast_lane=not args.no_fast_lane)
     port = httpd.server_address[1]
     base = f"http://127.0.0.1:{port}"
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -155,7 +158,8 @@ def main() -> None:
               "unit": ("wall ms per HTTP request, N concurrent clients, "
                        "one ~11 s phrase each, warm server, 1 chip"),
               "audio_seconds_per_request": round(audio_seconds, 1),
-              "max_wait_ms": args.max_wait_ms}
+              "max_wait_ms": args.max_wait_ms,
+              "fast_lane": not args.no_fast_lane}
 
     # ---- phase 1: concurrent clients --------------------------------------
     samples: list = []
