@@ -244,3 +244,18 @@ def test_mel2hidden_bucket_invariance():
     out_exact = r.mel2hidden(mel)
     assert out_bucketed.shape == out_exact.shape == (1, n, 360)
     np.testing.assert_allclose(out_bucketed, out_exact, atol=5e-5, rtol=1e-4)
+
+
+def test_mel2hidden_batch_matches_single():
+    """Batched rows (per-row t_valid) must reproduce each item's
+    single-call probabilities exactly."""
+    from some_tpu.nn.rmvpe import RMVPE
+    rng = np.random.default_rng(11)
+    r = RMVPE(None)
+    mels = [rng.standard_normal((n, 128)).astype(np.float32)
+            for n in (73, 150)]  # same 512 bucket, rows padded to 2
+    singles = [r.mel2hidden(m) for m in mels]
+    batched = r.mel2hidden_batch(mels)
+    for s, b in zip(singles, batched):
+        assert b.shape == s.shape
+        np.testing.assert_allclose(b, s, atol=5e-5, rtol=1e-4)
