@@ -493,24 +493,41 @@ class RMVPE:
                     results[i] = hidden[r:r + 1, :mels[i].shape[0]]
         return results
 
-    def infer_from_audio(self, audio: np.ndarray, sample_rate: int = 16000,
-                         thred: float = 0.03, use_viterbi: bool = False) -> np.ndarray:
+    def audio_to_mel(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Resample to RMVPE's native 16 kHz and compute its log-mel."""
         from some_tpu.audio.wavio import resample
 
         if sample_rate != SAMPLE_RATE:
             audio = resample(audio, sample_rate, SAMPLE_RATE)
-        mel = self.mel(audio)  # [T, 128]
+        return self.mel(audio)  # [T, 128]
+
+    def f0_batch(self, waveforms, sample_rate: int,
+                 thred: float = 0.03) -> list:
+        """Many waveforms -> list of 10 ms f0 curves, with the device
+        forwards batched by frame bucket (mel2hidden_batch). Finish per item
+        with f0_to_grid. This is the dataset-binarize shape: the sequential
+        BiGRU costs one scan per bucket instead of one per song."""
+        mels = [self.audio_to_mel(w, sample_rate) for w in waveforms]
+        hiddens = self.mel2hidden_batch(mels)
+        return [local_average_cents(h, thred=thred) for h in hiddens]
+
+    def infer_from_audio(self, audio: np.ndarray, sample_rate: int = 16000,
+                         thred: float = 0.03, use_viterbi: bool = False) -> np.ndarray:
+        mel = self.audio_to_mel(audio, sample_rate)
         hidden = self.mel2hidden(mel)
         if use_viterbi:
             return viterbi_cents(hidden, thred=thred)
         return local_average_cents(hidden, thred=thred)
 
-    def get_pitch(self, waveform: np.ndarray, sample_rate: int, hop_size: int,
-                  length: int, interp_uv: bool = False):
-        """f0 on the caller's hop grid (reference: rmvpe/inference.py:56-66)."""
+    @staticmethod
+    def f0_to_grid(f0: np.ndarray, sample_rate: int, hop_size: int,
+                   length: int, interp_uv: bool = False):
+        """RMVPE's native 10 ms f0 curve -> the caller's hop grid
+        (the tail of reference rmvpe/inference.py:56-66). Split out so a
+        batched forward (mel2hidden_batch) can cache the 10 ms curve and
+        finish per item."""
         from some_tpu.utils.pitch import interp_f0, resample_align_curve
 
-        f0 = self.infer_from_audio(waveform, sample_rate=sample_rate)
         uv = f0 == 0
         f0, uv = interp_f0(f0, uv)
         time_step = hop_size / sample_rate
@@ -520,3 +537,10 @@ class RMVPE:
         if not interp_uv:
             f0_res[uv_res] = 0
         return f0_res, uv_res
+
+    def get_pitch(self, waveform: np.ndarray, sample_rate: int, hop_size: int,
+                  length: int, interp_uv: bool = False):
+        """f0 on the caller's hop grid (reference: rmvpe/inference.py:56-66)."""
+        f0 = self.infer_from_audio(waveform, sample_rate=sample_rate)
+        return self.f0_to_grid(f0, sample_rate, hop_size, length,
+                               interp_uv=interp_uv)

@@ -183,6 +183,12 @@ class BaseBinarizer:
                                            desc=f"binarize:{prefix}"):
                         emit(item_group)
             else:
+                # serial path: let the binarizer batch cross-item device
+                # work first (e.g. RMVPE pitch rides bucket-batched forwards
+                # instead of one sequential scan per song)
+                prepare = getattr(self, "prepare_items", None)
+                if prepare is not None:
+                    prepare(args)
                 for name, meta, aug in tqdm(args, desc=f"binarize:{prefix}"):
                     try:
                         emit(self.process_item(name, meta, allow_aug=aug))

@@ -150,8 +150,49 @@ class MIDIExtractionBinarizer(BaseBinarizer):
             return cv(waveform, sample_rate=self.config["audio_sample_rate"])
         raise NotImplementedError(f"Invalid units encoder: {encoder}")
 
+    def prepare_items(self, args) -> None:
+        """Serial-path batch hook (base_binarizer.process_dataset): for
+        pe=rmvpe, run the whole split's pitch forwards bucket-BATCHED
+        (RMVPE.f0_batch) and cache each item's 10 ms f0 curve, so the
+        per-item path pays only the cheap grid resample. Groups of 32 bound
+        peak mel RAM; a cache entry is popped as it is consumed."""
+        if self.config.get("pe", "yin") != "rmvpe" or not args:
+            return
+        try:
+            from some_tpu.nn.rmvpe import RMVPE
+            rmvpe = RMVPE.cached(self.config.get("pe_ckpt"))
+        except (ImportError, FileNotFoundError):
+            return  # extract_pitch will fall back per item (yin)
+        self._f0_cache = getattr(self, "_f0_cache", {})
+        sr = self.config["audio_sample_rate"]
+        group = 32
+        for pos in range(0, len(args), group):
+            chunk = args[pos:pos + group]
+            names, waves = [], []
+            for name, meta, _aug in chunk:
+                waveform, _ = load_wav(meta["wav_fn"], sr=sr, mono=True)
+                names.append(name)
+                waves.append(waveform)
+            for name, f0 in zip(names, rmvpe.f0_batch(waves, sr)):
+                self._f0_cache[name] = f0
+
+    def _extract_pitch(self, item_name, waveform, length) -> np.ndarray:
+        cached = getattr(self, "_f0_cache", {}).pop(item_name, None)
+        if cached is not None:
+            from some_tpu.nn.rmvpe import RMVPE
+            f0, _ = RMVPE.f0_to_grid(
+                cached, self.config["audio_sample_rate"],
+                self.config["hop_size"], length, interp_uv=True)
+            return f0
+        f0, _ = extract_pitch(
+            self.config.get("pe", "yin"), waveform,
+            sample_rate=self.config["audio_sample_rate"],
+            hop_size=self.config["hop_size"], length=length, interp_uv=True,
+            rmvpe_ckpt=self.config.get("pe_ckpt"))
+        return f0
+
     def _process_item(self, waveform: np.ndarray, meta_data: dict,
-                      int_midi: bool = False) -> dict:
+                      int_midi: bool = False, item_name: str = None) -> dict:
         units = self.compute_units(waveform)
         assert units.ndim == 2 and units.shape[1] == self.config["units_dim"], \
             f"Shape of units must be [T, units_dim], got {units.shape}."
@@ -159,11 +200,7 @@ class MIDIExtractionBinarizer(BaseBinarizer):
         seconds = length * self.timestep
         item = {"seconds": seconds, "length": length, "units": units}
 
-        f0, _ = extract_pitch(
-            self.config.get("pe", "yin"), waveform,
-            sample_rate=self.config["audio_sample_rate"],
-            hop_size=self.config["hop_size"], length=length, interp_uv=True,
-            rmvpe_ckpt=self.config.get("pe_ckpt"))
+        f0 = self._extract_pitch(item_name, waveform, length)
         item["pitch"] = hz_to_midi(f0).astype(np.float32)
 
         note_midi = np.array(
@@ -211,7 +248,8 @@ class MIDIExtractionBinarizer(BaseBinarizer):
                      allow_aug: bool = False) -> List[dict]:
         waveform, _ = load_wav(meta_data["wav_fn"],
                                sr=self.config["audio_sample_rate"], mono=True)
-        base = self._process_item(waveform, meta_data, int_midi=False)
+        base = self._process_item(waveform, meta_data, int_midi=False,
+                                  item_name=item_name)
         items = [base]
         if not allow_aug:
             return items

@@ -27,7 +27,8 @@ class QuantizedMIDIExtractionBinarizer(MIDIExtractionBinarizer):
                      allow_aug: bool = False) -> List[dict]:
         waveform, _ = load_wav(meta_data["wav_fn"],
                                sr=self.config["audio_sample_rate"], mono=True)
-        base = self._process_item(waveform, meta_data, int_midi=True)
+        base = self._process_item(waveform, meta_data, int_midi=True,
+                                  item_name=item_name)
         base["note_midi"] = base["note_midi"].copy()
         base["note_midi"][base["note_rest"]] = 128
         items = [base]

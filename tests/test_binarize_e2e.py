@@ -145,3 +145,69 @@ def test_binarized_data_trains(raw_and_binary):
     state = task.init_state(example_batch=batch)
     state, logs = step(state, shard_batch(batch, mesh))
     assert np.isfinite(float(logs["total_loss"]))
+
+
+def test_rmvpe_prepare_pass_matches_per_item(tmp_path):
+    """The serial-path batched-pitch prepare pass (prepare_items ->
+    RMVPE.f0_batch cache) must produce byte-identical pitch to the
+    per-item extract_pitch path. A stub RMVPE isolates the plumbing."""
+    from some_tpu.nn.rmvpe import RMVPE
+    from some_tpu.preprocessing.me_binarizer import MIDIExtractionBinarizer
+
+    class FakeRMVPE:
+        def _f0_10ms(self, w, sr):
+            n = int(len(w) / sr / 0.01) + 1
+            return (220.0 + 5 * np.sin(np.arange(n) * 0.1)).astype(np.float32)
+
+        def f0_batch(self, waves, sr, thred=0.03):
+            return [self._f0_10ms(w, sr) for w in waves]
+
+        def get_pitch(self, w, sample_rate, hop_size, length,
+                      interp_uv=False):
+            return RMVPE.f0_to_grid(self._f0_10ms(w, sample_rate),
+                                    sample_rate, hop_size, length,
+                                    interp_uv=interp_uv)
+
+    fake_key = "test://fake-rmvpe"
+    RMVPE._cache[fake_key] = FakeRMVPE()
+    try:
+        rng = np.random.default_rng(5)
+        root = tmp_path / "raw"
+        write_raw_dataset(root, rng, n_items=3)
+        config = {
+            "raw_data_dir": [str(root)], "binary_data_dir": "",
+            "binarization_args": {"num_workers": 0, "shuffle": False,
+                                  "skip_glide": True, "merge_rest": True,
+                                  "merge_slur": True, "round_midi": False,
+                                  "slur_tolerance": 0.5},
+            "audio_sample_rate": SR, "hop_size": 512, "win_size": 2048,
+            "fmin": 40, "fmax": 8000, "units_dim": 80,
+            "units_encoder": "mel", "pe": "rmvpe", "pe_ckpt": fake_key,
+            "key_shift_factor": 0, "key_shift_range": [-3, 3],
+            "test_prefixes": ["item0"], "seed": 1,
+            "midi_min": 0, "midi_max": 127,
+        }
+        import h5py
+
+        def run(out, prepared):
+            cfg = dict(config, binary_data_dir=str(out))
+            out.mkdir()
+            b = MIDIExtractionBinarizer(dict(cfg))
+            if not prepared:
+                b.prepare_items = None  # shadow the method -> hook skipped
+            b.process()
+            pitches = {}
+            for prefix in ("train", "valid"):
+                with h5py.File(out / f"{prefix}.data", "r") as f:
+                    for k in f:
+                        if "pitch" in f[k]:
+                            pitches[f"{prefix}/{k}"] = f[k]["pitch"][()]
+            return pitches
+
+        a = run(tmp_path / "bin_prepared", prepared=True)
+        b = run(tmp_path / "bin_per_item", prepared=False)
+        assert a.keys() == b.keys() and len(a) >= 3
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    finally:
+        RMVPE._cache.pop(fake_key, None)

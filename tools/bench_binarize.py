@@ -120,6 +120,9 @@ def main():
     ap.add_argument("--no-bucket", action="store_true",
                     help="disable RMVPE frame bucketing (exact pad-32 "
                     "shapes: one compile per distinct song length)")
+    ap.add_argument("--no-batch", action="store_true",
+                    help="disable the serial-path batched-pitch prepare "
+                    "pass (per-item RMVPE forwards, the pre-r4 shape)")
     ap.add_argument("--aug", type=int, default=1,
                     help="key_shift_factor (mel recomputes per train item)")
     args = ap.parse_args()
@@ -159,9 +162,12 @@ def main():
 
     orig_units = MIDIExtractionBinarizer.compute_units
     orig_pitch = RMVPE.get_pitch
+    orig_f0b = RMVPE.f0_batch
     orig_fwd = RMVPE.mel2hidden
+    orig_fwdb = RMVPE.mel2hidden_batch
     MIDIExtractionBinarizer.compute_units = timed(orig_units, "units")
     RMVPE.get_pitch = timed(orig_pitch, "rmvpe")
+    RMVPE.f0_batch = timed(orig_f0b, "rmvpe")
 
     def fwd(self, mel):
         t0 = time.perf_counter()
@@ -171,6 +177,16 @@ def main():
         acc["fwd"] += time.perf_counter() - t0
         return out
     RMVPE.mel2hidden = fwd
+
+    def fwdb(self, mels):
+        t0 = time.perf_counter()
+        for m in mels:
+            sem = 32 * ((m.shape[0] - 1) // 32 + 1)
+            shapes.add(_bucket_frames(sem) if self.bucket else sem)
+        out = orig_fwdb(self, mels)
+        acc["fwd"] += time.perf_counter() - t0
+        return out
+    RMVPE.mel2hidden_batch = fwdb
 
     config = {
         "raw_data_dir": [str(root)], "binary_data_dir": str(binary),
@@ -186,13 +202,18 @@ def main():
         "midi_min": 0, "midi_max": 127,
     }
 
+    binarizer = MIDIExtractionBinarizer(dict(config))
+    if args.no_batch:
+        binarizer.prepare_items = None  # shadow the hook -> per-item path
     t0 = time.perf_counter()
-    MIDIExtractionBinarizer(dict(config)).process()
+    binarizer.process()
     wall = time.perf_counter() - t0
 
     MIDIExtractionBinarizer.compute_units = orig_units
     RMVPE.get_pitch = orig_pitch
+    RMVPE.f0_batch = orig_f0b
     RMVPE.mel2hidden = orig_fwd
+    RMVPE.mel2hidden_batch = orig_fwdb
     watchdog.cancel()
 
     host_other = wall - acc["units"] - acc["rmvpe"]
@@ -210,6 +231,7 @@ def main():
                   "host_other_s": round(host_other, 2)},
         "rmvpe_programs": len(shapes),
         "bucket": not args.no_bucket,
+        "batched_pitch": not args.no_batch,
         "aug_factor": args.aug,
         "platform": __import__("jax").devices()[0].platform,
     }), flush=True)
