@@ -43,8 +43,14 @@ def build_engine(batch_chunks: int = 32):
         dim=int(os.environ.get("SOME_BENCH_DIM", 512)))
     config["mel_method"] = os.environ.get("SOME_BENCH_MEL", "rfft")
     config["quantize"] = os.environ.get("SOME_BENCH_QUANT", "none")
-    # int16 (default, lossless for PCM sources) | mulaw8 (1-byte lossy wire)
-    config["transfer_dtype"] = os.environ.get("SOME_BENCH_WIRE", "int16")
+    # auto (default): probe the link and pick the wire per the measured
+    # MB/s — on slow links this engages the half-rate wire, the measured
+    # x2.04 serial lever (BENCH_NOTES round-3). The choice is recorded in
+    # the output's wire/wire_sr/wire_decision fields so every capture is
+    # self-describing; the half-rate wire's F1 impact was adjudicated in
+    # round 3 (f32 note-exact, bf16 0.972 with only below-fmin micro-blips).
+    # Pin int16/mulaw8/... via SOME_BENCH_WIRE for A/B legs.
+    config["transfer_dtype"] = os.environ.get("SOME_BENCH_WIRE", "auto")
     # half-rate wire A/B (0 = native rate): halves wire bytes + mel FLOPs
     # with an equivalent STFT analysis (see base_infer wire_sr notes)
     config["wire_sr"] = int(os.environ.get("SOME_BENCH_WIRE_SR", 0)) or None

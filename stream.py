@@ -46,7 +46,13 @@ def _event_line(event) -> str:
 @click.option("--midi", required=False, metavar="MIDI_PATH",
               help="Also write the accumulated SMF here at end-of-stream.")
 @click.option("--tempo", required=False, type=float, default=120)
-def stream(model, pcm_format, chunk_ms, midi, tempo):
+@click.option("--prewarm/--no-prewarm", default=True, show_default=True,
+              help="Compile every (frame-bucket x 1-2 rows) program before "
+                   "reading stdin. Without it a live caller pays each "
+                   "first-visit compile ON the real-time path (measured "
+                   "32.8 s worst-case first-event latency, BENCH_NOTES "
+                   "round-4 streaming; prewarmed steady state is <1 s).")
+def stream(model, pcm_format, chunk_ms, midi, tempo, prewarm):
     import yaml
 
     from some_tpu.inference.base_infer import build_inference
@@ -56,7 +62,23 @@ def stream(model, pcm_format, chunk_ms, midi, tempo):
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
         config = yaml.safe_load(f)
     engine = build_inference(config, model_path)
+    if prewarm:
+        # rows (1, 2): the live path feeds one phrase at a time (row 1);
+        # an over-length phrase seam-splits into multiple rows, which
+        # row-bucketing rounds to 2+ (row 2 covers the common case without
+        # tripling warmup cost). Buckets above 4096 frames (~47 s of
+        # silence-free singing) are left to compile on demand — phrases
+        # that long don't occur in live vocal input.
+        buckets = [b for b in engine.frame_buckets if b <= 4096]
+        print("| prewarming bucket programs before accepting audio...",
+              file=sys.stderr, flush=True)
+        n = engine.prewarm(buckets, rows=(1, 2))
+        print(f"| prewarmed {n} bucket programs", file=sys.stderr, flush=True)
     st = StreamingTranscriber(engine)
+    # machine-readable readiness marker: harnesses (bench_stream_live) and
+    # mic pipelines can wait for this before opening the audio source, so
+    # no live audio races the warmup above
+    print("| ready (awaiting stdin)", file=sys.stderr, flush=True)
 
     sr = config["audio_sample_rate"]
     itemsize = 2 if pcm_format == "s16le" else 4

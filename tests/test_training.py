@@ -298,7 +298,7 @@ def test_binarizer_keyshift_is_seeded(monkeypatch, tmp_path):
         def compute_units(self, waveform, keyshift=0):
             return np.full((4, 2), keyshift, np.float32)
 
-        def _process_item(self, waveform, meta_data, int_midi=False):
+        def _process_item(self, waveform, meta_data, int_midi=False, item_name=None):
             return {"units": np.zeros((4, 2), np.float32),
                     "pitch": np.zeros(4, np.float32),
                     "note_midi": np.zeros(2, np.float32)}
@@ -482,7 +482,7 @@ def test_binarizer_keyshift_clamped_to_label_range(monkeypatch, tmp_path):
         def compute_units(self, waveform, keyshift=0):
             return np.full((4, 2), keyshift, np.float32)
 
-        def _process_item(self, waveform, meta_data, int_midi=False):
+        def _process_item(self, waveform, meta_data, int_midi=False, item_name=None):
             return {"units": np.zeros((4, 2), np.float32),
                     "pitch": np.zeros(4, np.float32),
                     "note_midi": np.array([120.0, 125.0], np.float32)}
@@ -504,7 +504,7 @@ def test_binarizer_keyshift_clamped_to_label_range(monkeypatch, tmp_path):
         def compute_units(self, waveform, keyshift=0):
             return np.full((4, 2), keyshift, np.float32)
 
-        def _process_item(self, waveform, meta_data, int_midi=True):
+        def _process_item(self, waveform, meta_data, int_midi=True, item_name=None):
             return {"units": np.zeros((4, 2), np.float32),
                     "pitch": np.zeros(4, np.float32),
                     "note_midi": np.array([3, 125, 60], np.int64),

@@ -104,7 +104,7 @@ def main() -> None:
         [sys.executable, str(REPO / "stream.py"), "--model", str(ckpt),
          "--pcm-format", "s16le", "--chunk-ms", str(args.chunk_ms)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL, cwd=str(REPO))
+        stderr=subprocess.PIPE, cwd=str(REPO))
 
     events = []   # (wall_since_start, parsed_json)
     t_start = None
@@ -116,6 +116,19 @@ def main() -> None:
             except ValueError:
                 continue
             events.append((time.perf_counter() - t_start, ev))
+
+    # stream.py prewarms its bucket programs then prints a ready marker on
+    # stderr; a real mic pipeline opens the source only after that, so the
+    # latency clock must not start before it either (round-4 measured the
+    # un-prewarmed alternative: 32.8 s first-event latency)
+    t_ready0 = time.perf_counter()
+    for line in proc.stderr:
+        sys.stderr.write(line.decode(errors="replace"))
+        if b"| ready" in line:
+            break
+    warmup_s = time.perf_counter() - t_ready0
+    threading.Thread(  # keep draining stderr so the child never blocks on it
+        target=lambda: [None for _ in proc.stderr], daemon=True).start()
 
     # Give the engine its slow construction (weight upload, first jit) BEFORE
     # the clock starts: feed 1 s of silence and wait for the process to be
@@ -154,6 +167,7 @@ def main() -> None:
         "events": len(events),
         "audio_seconds": round(audio_seconds, 1),
         "feed_wall_s": round(fed_wall, 1),
+        "warmup_s": round(warmup_s, 1),
         "pace": args.pace,
     }
     if latencies:
