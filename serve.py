@@ -40,13 +40,14 @@ MAX_BODY_BYTES = 512 * 1024 * 1024
 
 class TranscribeJob:
     __slots__ = ("chunks", "offsets", "tempo", "audio_seconds", "done",
-                 "segments", "error", "resolution", "_lock")
+                 "segments", "error", "resolution", "_lock", "t_submit")
 
     def __init__(self, chunks, offsets, tempo, audio_seconds=0.0):
         self.chunks = chunks          # list of waveforms (one per slice)
         self.offsets = offsets
         self.tempo = tempo
         self.audio_seconds = audio_seconds
+        self.t_submit = time.monotonic()   # stamped again by submit()
         self.done = threading.Event()
         self.segments = None
         self.error: Optional[str] = None
@@ -92,12 +93,18 @@ class BatchingDispatcher:
                       "abandoned_requests": 0, "batches": 0,
                       "audio_seconds": 0.0, "device_seconds": 0.0,
                       "max_jobs_per_batch": 0}
+        # per-job (queue_wait, device) second pairs, last 2048: attributes
+        # concurrent tail latency (is p99 queueing or chip time?) without
+        # unbounded growth on long-lived servers
+        from collections import deque
+        self._job_times: "deque[tuple]" = deque(maxlen=2048)
         self._lock = threading.Lock()
         self._busy_since: Optional[float] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, job: TranscribeJob) -> bool:
+        job.t_submit = time.monotonic()
         try:
             self.jobs.put_nowait(job)
             return True
@@ -165,6 +172,9 @@ class BatchingDispatcher:
                     self.stats["abandoned_requests"] += len(batch) - failed
                 continue
             elapsed = time.monotonic() - t0
+            for job in batch:
+                # queue wait = submit -> the batch's device dispatch began
+                self._job_times.append((t0 - job.t_submit, elapsed))
             pos = 0
             delivered = []
             for job in batch:

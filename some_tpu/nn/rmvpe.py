@@ -234,6 +234,12 @@ class E2E0(nn.Module):
 
     @nn.compact
     def __call__(self, mel, train: bool = False, t_valid=None):
+        # t_valid masking is inference-only: with train=True the _mask_time
+        # zeros would enter BatchNorm BATCH statistics, silently breaking
+        # the exact-pad equivalence the mask exists to provide (ADVICE r4)
+        if train and t_valid is not None:
+            raise ValueError("t_valid masking is inference-only: masked "
+                             "zeros would pollute BatchNorm batch stats")
         x = mel[..., None]  # [B, T, M, 1]
         x = DeepUnet(self.en_de_layers, self.inter_layers, self.n_blocks,
                      self.en_out_channels, name="unet")(x, train, t_valid)
@@ -250,6 +256,35 @@ class E2E0(nn.Module):
 
 
 # ---------------------------------------------------------------- decode
+def _argmax_window(hidden):
+    """Device-side shrink of the decode fetch: [B, T, 360] probabilities ->
+    (center [B, T] int32, window [B, T, 9] f32), the only values
+    local_average_cents reads. Fetching these instead of the full hidden is
+    a 36x smaller download (the dominant per-call cost on a tunneled chip:
+    35.4 MB / 1.09 s vs 0.17 s of compute, .bench_logs/rmvpe_profile_r5) and
+    BIT-exact: scattering the window back into a zeros [B, T, 360] array
+    reproduces the original array at every position the decode's mask can
+    select (edge-clipped duplicate indices rewrite the same value), and
+    adding exact 0.0 terms never changes a float sum."""
+    center = jnp.argmax(hidden, axis=2).astype(jnp.int32)
+    idx = jnp.clip(center[..., None] + jnp.arange(-4, 5), 0, N_CLASS - 1)
+    window = jnp.take_along_axis(hidden, idx, axis=2)
+    return center, window
+
+
+def _decode_window(center: np.ndarray, window: np.ndarray,
+                   thred: float = 0.03) -> np.ndarray:
+    """Host half of the window fetch: rebuild the sparse probability array
+    and run the unmodified decode on it (same sums, same argmax, same uv
+    threshold — see _argmax_window)."""
+    center = np.asarray(center)
+    window = np.asarray(window)
+    sparse = np.zeros(center.shape + (N_CLASS,), np.float32)
+    idx = np.clip(center[..., None] + np.arange(-4, 5), 0, N_CLASS - 1)
+    np.put_along_axis(sparse, idx, window, axis=2)
+    return local_average_cents(sparse, center=center[..., None], thred=thred)
+
+
 def local_average_cents(hidden: np.ndarray, center: Optional[np.ndarray] = None,
                         thred: float = 0.03) -> np.ndarray:
     """Prob-weighted average over argmax+-4 bins -> f0 Hz, unvoiced -> 0
@@ -432,6 +467,13 @@ class RMVPE:
         self._forward = jax.jit(
             lambda variables, mel, t_valid:
                 self.model.apply(variables, mel, t_valid=t_valid))
+        # decode-fetch variant for the batched pitch path: returns only the
+        # (center, 9-bin window) the decode reads — 36x less download than
+        # the full hidden through a tunneled host link (see _argmax_window)
+        self._forward_window = jax.jit(
+            lambda variables, mel, t_valid:
+                _argmax_window(self.model.apply(variables, mel,
+                                                t_valid=t_valid)))
 
     @classmethod
     def cached(cls, model_path) -> "RMVPE":
@@ -462,36 +504,48 @@ class RMVPE:
         return hidden[:, :n_frames]
 
     def mel2hidden_batch(self, mels) -> list:
-        """Many items' mels -> list of [1, T_i, 360], batching items that
-        share a frame bucket through ONE forward (rows padded to 1/2/4/8 so
-        the program count stays bounded). Numerics per item are identical to
-        mel2hidden: t_valid is per-row, so each row sees its own semantic
-        pad-32 length. This is the throughput shape for dataset binarize —
-        the BiGRU scan's sequential steps cost the same wall time for 8
-        songs as for 1."""
+        """Many items' mels -> list of [1, T_i, 360], PACKED into full
+        batches: items are sorted by length and taken 8 at a time, each
+        chunk padded to the bucket of its LONGEST member (rows snapped to
+        1/2/4/8). Numerics per item are identical to mel2hidden — t_valid
+        is per-row, and the masked forward is bit-independent of how far
+        the bucket extends past each row's semantic pad-32 length — so a
+        short song riding in a long song's bucket decodes the same f0.
+
+        Packing by chunk-max (instead of grouping items by their OWN
+        bucket, the round-4 shape) is what makes this the binarize
+        throughput path on a varied-length dataset: 8 songs of 4..30 s
+        used to fan out into 6 near-empty per-bucket programs — six
+        compiles and six serial tunnel round-trips — and now ride ONE
+        [8, bucket(30 s)] forward. The extra conv FLOPs on pad rows are
+        ~2x in the worst case; the avoided per-call costs (remote
+        compile, RPC latency, 2x fewer sequential BiGRU scan steps than
+        the per-bucket sum) dominate on real hardware. Length-sorting
+        keeps pad waste low on large datasets: neighbours in a chunk have
+        similar lengths, so only the tail chunk pads far."""
         results: list = [None] * len(mels)
-        groups: dict = {}
-        for i, mel in enumerate(mels):
-            sem = 32 * ((mel.shape[0] - 1) // 32 + 1)
-            total = _bucket_frames(sem) if self.bucket else sem
-            groups.setdefault(total, []).append((i, sem))
-        for total, members in groups.items():
-            pos = 0
-            while pos < len(members):
-                chunk = members[pos:pos + 8]
-                pos += len(chunk)
-                rows = 1 << max(0, (len(chunk) - 1).bit_length())  # 1/2/4/8
-                batch = np.zeros((rows, total, N_MELS), np.float32)
-                sems = np.full((rows,), 32, np.int32)  # dummy rows: minimal
-                for r, (i, sem) in enumerate(chunk):
-                    n = mels[i].shape[0]
-                    batch[r, :n] = mels[i]
-                    sems[r] = sem
-                hidden = np.asarray(
-                    self._forward(self.variables, batch, sems))
-                for r, (i, _) in enumerate(chunk):
-                    results[i] = hidden[r:r + 1, :mels[i].shape[0]]
+        for chunk, batch, t_valid in self._packed_chunks(mels):
+            hidden = np.asarray(self._forward(self.variables, batch, t_valid))
+            for r, i in enumerate(chunk):
+                results[i] = hidden[r:r + 1, :mels[i].shape[0]]
         return results
+
+    def _packed_chunks(self, mels):
+        """Yield (item_indices, mel_batch, t_valid) packed as described in
+        mel2hidden_batch: length-sorted, 8 rows max, chunk-max bucket."""
+        order = sorted(range(len(mels)), key=lambda i: -mels[i].shape[0])
+        for pos in range(0, len(order), 8):
+            chunk = order[pos:pos + 8]
+            sems = [32 * ((mels[i].shape[0] - 1) // 32 + 1) for i in chunk]
+            total = (_bucket_frames(max(sems)) if self.bucket
+                     else max(sems))
+            rows = 1 << max(0, (len(chunk) - 1).bit_length())  # 1/2/4/8
+            batch = np.zeros((rows, total, N_MELS), np.float32)
+            t_valid = np.full((rows,), 32, np.int32)  # dummy rows: minimal
+            for r, (i, sem) in enumerate(zip(chunk, sems)):
+                batch[r, :mels[i].shape[0]] = mels[i]
+                t_valid[r] = sem
+            yield chunk, batch, t_valid
 
     def audio_to_mel(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
         """Resample to RMVPE's native 16 kHz and compute its log-mel."""
@@ -504,12 +558,22 @@ class RMVPE:
     def f0_batch(self, waveforms, sample_rate: int,
                  thred: float = 0.03) -> list:
         """Many waveforms -> list of 10 ms f0 curves, with the device
-        forwards batched by frame bucket (mel2hidden_batch). Finish per item
-        with f0_to_grid. This is the dataset-binarize shape: the sequential
-        BiGRU costs one scan per bucket instead of one per song."""
+        forwards packed into full batches (_packed_chunks) and only the
+        decode window fetched (_argmax_window: 36x less download than the
+        full hidden, bit-identical f0). Finish per item with f0_to_grid.
+        This is the dataset-binarize shape: the sequential BiGRU costs one
+        scan per packed chunk instead of one per song."""
         mels = [self.audio_to_mel(w, sample_rate) for w in waveforms]
-        hiddens = self.mel2hidden_batch(mels)
-        return [local_average_cents(h, thred=thred) for h in hiddens]
+        results: list = [None] * len(mels)
+        for chunk, batch, t_valid in self._packed_chunks(mels):
+            center, window = self._forward_window(
+                self.variables, batch, t_valid)
+            center, window = np.asarray(center), np.asarray(window)
+            for r, i in enumerate(chunk):
+                n = mels[i].shape[0]
+                results[i] = _decode_window(center[r:r + 1, :n],
+                                            window[r:r + 1, :n], thred=thred)
+        return results
 
     def infer_from_audio(self, audio: np.ndarray, sample_rate: int = 16000,
                          thred: float = 0.03, use_viterbi: bool = False) -> np.ndarray:

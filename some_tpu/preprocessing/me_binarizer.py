@@ -170,7 +170,18 @@ class MIDIExtractionBinarizer(BaseBinarizer):
             chunk = args[pos:pos + group]
             names, waves = [], []
             for name, meta, _aug in chunk:
-                waveform, _ = load_wav(meta["wav_fn"], sr=sr, mono=True)
+                # An unreadable wav must not abort the whole split here,
+                # before any item is written: skip caching it, so the
+                # per-item path fails (or falls back) WITH item context at
+                # its own turn in the loop (ADVICE r4). Each waveform is
+                # decoded again by process_item — an accepted duplicate
+                # (~2x wav IO on the serial path): caching a whole group's
+                # decoded audio would hold ~170 MB peak, and wav decode +
+                # resample is a few percent of the pitch forward it feeds.
+                try:
+                    waveform, _ = load_wav(meta["wav_fn"], sr=sr, mono=True)
+                except Exception:
+                    continue
                 names.append(name)
                 waves.append(waveform)
             for name, f0 in zip(names, rmvpe.f0_batch(waves, sr)):

@@ -259,3 +259,41 @@ def test_mel2hidden_batch_matches_single():
     for s, b in zip(singles, batched):
         assert b.shape == s.shape
         np.testing.assert_allclose(b, s, atol=5e-5, rtol=1e-4)
+
+
+def test_window_fetch_decode_is_bit_exact():
+    """The device-side argmax-window fetch (_argmax_window + host
+    _decode_window) must reproduce local_average_cents on the full hidden
+    BIT-exactly — scattering the 9-bin window back into zeros recreates
+    every value the decode's mask can select, and adding exact 0.0 terms
+    never changes a float sum. Includes edge centers (argmax at bin 0 /
+    N_CLASS-1), where clipped gather indices duplicate."""
+    from some_tpu.nn.rmvpe import (N_CLASS, _argmax_window, _decode_window,
+                                   local_average_cents)
+    rng = np.random.default_rng(3)
+    hidden = rng.random((1, 50, N_CLASS)).astype(np.float32) * 0.5
+    hidden[0, 0, 0] = 0.9        # center at the low edge
+    hidden[0, 1, N_CLASS - 1] = 0.9   # center at the high edge
+    hidden[0, 7, :] = 0.001      # near-unvoiced frame (below thred)
+    center, window = _argmax_window(hidden)
+    got = _decode_window(np.asarray(center), np.asarray(window))
+    want = local_average_cents(hidden)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_f0_batch_matches_per_item_get_pitch():
+    """f0_batch (packed rows + window fetch) must reproduce the per-item
+    get_pitch f0 grid for varied lengths that land in DIFFERENT per-item
+    buckets (73 -> 512, 600 -> 704): packing into the chunk-max bucket must
+    not change any item's pitch curve."""
+    from some_tpu.nn.rmvpe import RMVPE
+    rng = np.random.default_rng(13)
+    r = RMVPE(None)
+    sr = 16000
+    waves = [rng.standard_normal(int(sr * s)).astype(np.float32) * 0.1
+             for s in (0.8, 6.0)]
+    batched = r.f0_batch(waves, sr)
+    singles = [r.infer_from_audio(w, sr) for w in waves]
+    for b, s in zip(batched, singles):
+        assert b.shape == s.shape
+        np.testing.assert_allclose(b, s, atol=5e-5, rtol=1e-4)

@@ -130,7 +130,7 @@ def main():
     watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
 
     import some_tpu  # noqa: F401
-    from some_tpu.nn.rmvpe import RMVPE, _bucket_frames
+    from some_tpu.nn.rmvpe import RMVPE
     from some_tpu.preprocessing.me_binarizer import MIDIExtractionBinarizer
 
     rng = np.random.default_rng(42)
@@ -165,14 +165,31 @@ def main():
     orig_f0b = RMVPE.f0_batch
     orig_fwd = RMVPE.mel2hidden
     orig_fwdb = RMVPE.mel2hidden_batch
+    orig_grid = RMVPE.__dict__["f0_to_grid"]  # staticmethod object
     MIDIExtractionBinarizer.compute_units = timed(orig_units, "units")
     RMVPE.get_pitch = timed(orig_pitch, "rmvpe")
     RMVPE.f0_batch = timed(orig_f0b, "rmvpe")
+    # in batched mode the per-item grid resample runs OUTSIDE f0_batch
+    # (from _extract_pitch's cache hit); time it into the rmvpe accumulator
+    # so the split is A/B comparable with --no-batch, where get_pitch
+    # includes it (ADVICE r4)
+    RMVPE.f0_to_grid = staticmethod(timed(orig_grid.__func__, "rmvpe"))
+
+    # count REAL dispatched programs: every distinct (rows, frames) shape
+    # entering the jitted forward (the pre-r5 counter tallied per-ITEM
+    # buckets, which over-counts once packing shares one program across
+    # buckets and under-counts row-bucket variants)
+    fwd_calls = []
+    inner = rmvpe._forward
+
+    def counting_forward(variables, mel, t_valid):
+        shapes.add(mel.shape[:2])
+        fwd_calls.append(mel.shape[:2])
+        return inner(variables, mel, t_valid)
+    rmvpe._forward = counting_forward
 
     def fwd(self, mel):
         t0 = time.perf_counter()
-        sem = 32 * ((mel.shape[0] - 1) // 32 + 1)
-        shapes.add(_bucket_frames(sem) if self.bucket else sem)
         out = orig_fwd(self, mel)
         acc["fwd"] += time.perf_counter() - t0
         return out
@@ -180,9 +197,6 @@ def main():
 
     def fwdb(self, mels):
         t0 = time.perf_counter()
-        for m in mels:
-            sem = 32 * ((m.shape[0] - 1) // 32 + 1)
-            shapes.add(_bucket_frames(sem) if self.bucket else sem)
         out = orig_fwdb(self, mels)
         acc["fwd"] += time.perf_counter() - t0
         return out
@@ -230,6 +244,8 @@ def main():
                   "rmvpe_forward_s": round(acc["fwd"], 2),
                   "host_other_s": round(host_other, 2)},
         "rmvpe_programs": len(shapes),
+        "rmvpe_forwards": len(fwd_calls),
+        "rmvpe_shapes": sorted(str(s) for s in shapes),
         "bucket": not args.no_bucket,
         "batched_pitch": not args.no_batch,
         "aug_factor": args.aug,

@@ -123,19 +123,27 @@ def main():
     elif args.ablate == "grad_only":
         # forward + backward + grad-norm, NO optimizer/clip apply: the
         # (full - grad_only) delta is the AdamW update + donation overhead;
-        # (grad_only - fwd_loss_only) is the backward pass
-        def _grad(state, batch):
+        # (grad_only - fwd_loss_only) is the backward pass.
+        #
+        # Takes (params, batch_stats) — NOT the TrainState. The round-4 leg
+        # shipped the whole state and OOM'd at B=32: the Adam moments (2x
+        # params) stayed live as unused program inputs while the backward
+        # held params + grads + remat boundaries, where the full step's
+        # donated state let XLA reuse those buffers. The caller below also
+        # DROPS the TrainState after extracting the two trees, so the
+        # moments' device buffers are freed before the first grad call.
+        def _grad(params, batch_stats, batch):
             rng = jax.random.key(config["seed"],
                                  impl=config.get("dropout_rng_impl", "rbg"))
             grad_fn = jax.value_and_grad(task._loss_and_updates,
                                          has_aux=True)
             (total, (losses, _)), grads = grad_fn(
-                state.params, state.batch_stats, batch, rng)
+                params, batch_stats, batch, rng)
             import optax
             return dict(losses, total_loss=total,
                         grad_norm=optax.global_norm(grads))
         grad = jax.jit(_grad)
-        train_step = lambda state, batch: (state, grad(state, batch))  # noqa: E731
+        train_step = lambda pb, batch: (pb, grad(pb[0], pb[1], batch))  # noqa: E731
     else:
         train_step = task.make_train_step(mesh)
 
@@ -155,6 +163,9 @@ def main():
     }
     state = task.init_state(example_batch=batch)
     state = task.place_state(state)
+    if args.ablate == "grad_only":
+        # free the optimizer moments (2x params of dead HBM for this leg)
+        state = (state.params, state.batch_stats)
     device_batch = shard_batch(batch, mesh)
 
     state, logs = train_step(state, device_batch)  # compile + warm
