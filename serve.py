@@ -203,8 +203,23 @@ class BatchingDispatcher:
     def snapshot(self) -> dict:
         with self._lock:
             stats = dict(self.stats)
+            times = list(self._job_times)
         stats["rtf"] = (stats["audio_seconds"] / stats["device_seconds"]
                         if stats["device_seconds"] else 0.0)
+        if times:
+            # tail-latency attribution: is a slow request waiting in the
+            # queue (dispatcher/batching) or on the device (engine.infer)?
+            import numpy as _np
+            waits = _np.array([w for w, _ in times]) * 1e3
+            devs = _np.array([d for _, d in times]) * 1e3
+            stats["job_queue_wait_ms"] = {
+                "p50": round(float(_np.percentile(waits, 50)), 1),
+                "p99": round(float(_np.percentile(waits, 99)), 1),
+                "max": round(float(waits.max()), 1)}
+            stats["job_device_ms"] = {
+                "p50": round(float(_np.percentile(devs, 50)), 1),
+                "p99": round(float(_np.percentile(devs, 99)), 1),
+                "max": round(float(devs.max()), 1)}
         stats["wire"] = getattr(self.engine, "wire", None)
         if getattr(self.engine, "wire_decision", None) is not None:
             # live view of the TTL-cadence auto-wire policy (re-probed inside

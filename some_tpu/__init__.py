@@ -23,9 +23,25 @@ __version__ = "0.1.0"
 
 import os as _os
 
+import jax as _jax
+
 if _os.environ.get("SOME_TPU_PLATFORM"):
     # Escape hatch for environments whose sitecustomize pins jax_platforms
     # (e.g. forcing CPU for host-side smoke runs): applied before any
     # backend initialization as long as some_tpu is imported first.
-    import jax as _jax
     _jax.config.update("jax_platforms", _os.environ["SOME_TPU_PLATFORM"])
+
+# Persistent XLA compile cache, applied through jax.config (NOT the
+# JAX_COMPILATION_CACHE_DIR env var): this image's sitecustomize imports
+# jax at interpreter startup, so jax's config snapshots the environment
+# BEFORE any script-level os.environ.setdefault runs — every env-only
+# setting was silently ignored and each new process re-paid multi-minute
+# remote compiles (measured: the same RMVPE shape cost 117 s and 437 s in
+# back-to-back processes while the 'warm' cache sat unused; with this
+# applied a fresh process loads it in seconds). jax.config.update works at
+# any time before first compile.
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache"))
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

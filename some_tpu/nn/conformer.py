@@ -383,11 +383,19 @@ class ConformerBlock(nn.Module):
             ln("norm2")(x), mask=mask)
         if self.attention_drop > 0:
             att = nn.Dropout(self.attention_drop, deterministic=deterministic)(att)
+        # named checkpoints: inert under the default full-block remat, but
+        # remat_policy "save_attn_conv" saves these dim-wide tensors (64 MB
+        # at the flagship 65k-frame budget vs the 256 MB FFN hiddens it
+        # still recomputes) so the backward skips re-running attention and
+        # the conv module — the two costliest non-FFN forwards in the block
+        from jax.ad_checkpoint import checkpoint_name
+        att = checkpoint_name(att, "attn_out")
         x = att + x
-        x = ConvModule(self.dim, self.kernel_size, self.conv_drop,
-                       dtype=self.dtype, quant=self.quant, name="conv")(
+        cv = ConvModule(self.dim, self.kernel_size, self.conv_drop,
+                        dtype=self.dtype, quant=self.quant, name="conv")(
             ln("norm3")(x), mask=mask,
-            deterministic=deterministic, use_running_average=use_running_average) + x
+            deterministic=deterministic, use_running_average=use_running_average)
+        x = checkpoint_name(cv, "conv_out") + x
         x = self._macaron_ffn(x, "ffn2", "norm4", deterministic)
         return ln("norm5")(x)
 
@@ -490,13 +498,24 @@ class MidiConformer(nn.Module):
             #   nothing  — recompute the whole layer (min memory, ~1/3 extra
             #              fwd FLOPs; fits the reference 80k-frame budget)
             #   dots     — save matmul outputs, recompute elementwise only
-            #              (jax.checkpoint_policies.checkpoint_dots)
+            #              (jax.checkpoint_policies.checkpoint_dots).
+            #              MEASURED DEAD-END at flagship geometry: it saves
+            #              the bf16[32,2048,2048] FFN hiddens (256 MB x 8
+            #              layers x 2 streams x 2 FFNs ~ 8 GB) and OOMs
+            #              (BENCH_NOTES round-4 train attribution)
             #   dots_no_batch — save only non-batch matmuls (weights-side)
+            #   save_attn_conv — save the named attention/conv outputs
+            #              (dim-wide, 64 MB each at flagship) and recompute
+            #              only the FFN/norm legs in the backward: the
+            #              middle ground "dots" cannot express
             policy = {
                 "nothing": None,
                 "dots": jax.checkpoint_policies.checkpoint_dots,
                 "dots_no_batch":
                     jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                "save_attn_conv":
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_out", "conv_out"),
             }[self.remat_policy]
             block_cls = nn.remat(DualStreamBlock, static_argnums=(4, 5),
                                  policy=policy)

@@ -180,27 +180,22 @@ def main():
     # buckets, which over-counts once packing shares one program across
     # buckets and under-counts row-bucket variants)
     fwd_calls = []
-    inner = rmvpe._forward
 
-    def counting_forward(variables, mel, t_valid):
-        shapes.add(mel.shape[:2])
-        fwd_calls.append(mel.shape[:2])
-        return inner(variables, mel, t_valid)
-    rmvpe._forward = counting_forward
+    def counted(inner):
+        def counting_forward(variables, mel, t_valid):
+            shapes.add(mel.shape[:2])
+            fwd_calls.append(mel.shape[:2])
+            t0 = time.perf_counter()
+            out = inner(variables, mel, t_valid)
+            out = __import__("jax").block_until_ready(out)
+            acc["fwd"] += time.perf_counter() - t0
+            return out
+        return counting_forward
+    rmvpe._forward = counted(rmvpe._forward)
+    rmvpe._forward_window = counted(rmvpe._forward_window)
 
-    def fwd(self, mel):
-        t0 = time.perf_counter()
-        out = orig_fwd(self, mel)
-        acc["fwd"] += time.perf_counter() - t0
-        return out
-    RMVPE.mel2hidden = fwd
-
-    def fwdb(self, mels):
-        t0 = time.perf_counter()
-        out = orig_fwdb(self, mels)
-        acc["fwd"] += time.perf_counter() - t0
-        return out
-    RMVPE.mel2hidden_batch = fwdb
+    # (mel2hidden/mel2hidden_batch need no extra wrapper: both funnel into
+    # the counted jitted forwards above, as does f0_batch's window path)
 
     config = {
         "raw_data_dir": [str(root)], "binary_data_dir": str(binary),
@@ -228,6 +223,7 @@ def main():
     RMVPE.f0_batch = orig_f0b
     RMVPE.mel2hidden = orig_fwd
     RMVPE.mel2hidden_batch = orig_fwdb
+    RMVPE.f0_to_grid = staticmethod(orig_grid.__func__)
     watchdog.cancel()
 
     host_other = wall - acc["units"] - acc["rmvpe"]

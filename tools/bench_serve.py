@@ -185,7 +185,9 @@ def main() -> None:
         served_audio_rtf=round(done * audio_seconds / wall, 1),
         max_jobs_per_batch=stats["max_jobs_per_batch"],
         batches=stats["batches"] - stats_before["batches"],
-        server_rtf=round(stats["rtf"], 1))
+        server_rtf=round(stats["rtf"], 1),
+        job_queue_wait_ms=stats.get("job_queue_wait_ms"),
+        job_device_ms=stats.get("job_device_ms"))
     if errors:
         result["concurrent"]["first_error"] = errors[0]
     # micro-batching must actually engage under concurrency
@@ -210,6 +212,7 @@ def main() -> None:
             t.join()
         wall = time.perf_counter() - t0
         health = _get_json(base, "/healthz")
+        soak_stats = _get_json(base, "/stats")
         rss1 = _rss_mb()
         # second identical soak in the same process: allocator fragmentation
         # plateaus (second-run growth << first), a real leak keeps the slope
@@ -242,7 +245,9 @@ def main() -> None:
             second_soak_p50_ms=round(
                 float(np.percentile(rerun_samples, 50)), 1)
             if rerun_samples else None,
-            healthz=health.get("status"))
+            healthz=health.get("status"),
+            job_queue_wait_ms=soak_stats.get("job_queue_wait_ms"),
+            job_device_ms=soak_stats.get("job_device_ms"))
         if soak_errors:
             result["soak"]["first_error"] = soak_errors[0]
 
