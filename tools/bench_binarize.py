@@ -125,6 +125,13 @@ def main():
                     "pass (per-item RMVPE forwards, the pre-r4 shape)")
     ap.add_argument("--aug", type=int, default=1,
                     help="key_shift_factor (mel recomputes per train item)")
+    ap.add_argument("--passes", type=int, default=1,
+                    help="re-run process() in the SAME process; the last "
+                    "pass is the steady state a long dataset sees (RMVPE "
+                    "programs live — a persistent-cache HIT still costs "
+                    "~35 s/program of remote executable load per process, "
+                    "measured .bench_logs/rmvpe_profile3_r5.json, so tiny "
+                    "corpora understate real-corpus throughput)")
     args = ap.parse_args()
 
     watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
@@ -211,12 +218,26 @@ def main():
         "midi_min": 0, "midi_max": 127,
     }
 
-    binarizer = MIDIExtractionBinarizer(dict(config))
-    if args.no_batch:
-        binarizer.prepare_items = None  # shadow the hook -> per-item path
-    t0 = time.perf_counter()
-    binarizer.process()
-    wall = time.perf_counter() - t0
+    passes = []
+    for i in range(max(1, args.passes)):
+        if i:
+            shutil.rmtree(binary, ignore_errors=True)
+            binary.mkdir(parents=True)
+            for key in acc:
+                acc[key] = 0.0
+            fwd_calls.clear()
+        binarizer = MIDIExtractionBinarizer(dict(config))
+        if args.no_batch:
+            binarizer.prepare_items = None  # shadow hook -> per-item path
+        t0 = time.perf_counter()
+        binarizer.process()
+        passes.append({"wall_s": round(time.perf_counter() - t0, 2),
+                       "split": {k: round(v, 2) for k, v in acc.items()},
+                       "forwards": len(fwd_calls)})
+    wall = passes[0]["wall_s"]
+    acc = {"units": passes[0]["split"]["units"],
+           "rmvpe": passes[0]["split"]["rmvpe"],
+           "fwd": passes[0]["split"]["fwd"]}
 
     MIDIExtractionBinarizer.compute_units = orig_units
     RMVPE.get_pitch = orig_pitch
@@ -227,6 +248,20 @@ def main():
     watchdog.cancel()
 
     host_other = wall - acc["units"] - acc["rmvpe"]
+    steady = {}
+    if len(passes) > 1:
+        last = passes[-1]
+        steady = {
+            "steady_rtf": round(audio_seconds / last["wall_s"], 2),
+            "steady_wall_s": last["wall_s"],
+            "steady_split": {
+                "units_mel_s": last["split"]["units"],
+                "rmvpe_s": last["split"]["rmvpe"],
+                "rmvpe_forward_s": last["split"]["fwd"],
+                "host_other_s": round(last["wall_s"] - last["split"]["units"]
+                                      - last["split"]["rmvpe"], 2)},
+            "steady_forwards": last["forwards"],
+        }
     print(json.dumps({
         "metric": "binarize_rtf",
         "value": round(audio_seconds / wall, 2),
@@ -240,8 +275,9 @@ def main():
                   "rmvpe_forward_s": round(acc["fwd"], 2),
                   "host_other_s": round(host_other, 2)},
         "rmvpe_programs": len(shapes),
-        "rmvpe_forwards": len(fwd_calls),
+        "rmvpe_forwards": passes[0]["forwards"],
         "rmvpe_shapes": sorted(str(s) for s in shapes),
+        **steady,
         "bucket": not args.no_bucket,
         "batched_pitch": not args.no_batch,
         "aug_factor": args.aug,
