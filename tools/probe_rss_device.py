@@ -97,6 +97,16 @@ def main() -> None:
                   file=sys.stderr, flush=True)
     wall = time.perf_counter() - t0
     r_end = _rss_mb()
+    # live-object leaks survive gc + malloc_trim; allocator-cached free
+    # heap does not (same discriminator as tools/soak_stub.py)
+    import ctypes
+    import gc
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+    r_trim = _rss_mb()
     watchdog.cancel()
     print(json.dumps({
         "metric": "rss_device_probe",
@@ -106,6 +116,8 @@ def main() -> None:
         "wire": engine.wire,
         "rss_start_mb": round(r_start, 1), "rss_end_mb": round(r_end, 1),
         "rss_growth_mb": round(r_end - r_start, 1),
+        "rss_after_trim_mb": round(r_trim, 1),
+        "survives_trim_mb": round(r_trim - r_start, 1),
         "mb_per_call": round((r_end - r_start) / args.calls, 3),
         "wall_s": round(wall, 1), "trace": samples,
         "platform": jax_platform()}), flush=True)
