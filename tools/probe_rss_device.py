@@ -60,6 +60,17 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=1,
                     help="batch rows per call (1 = the solo-request shape)")
     ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--same-buffer", action="store_true",
+                    help="reuse ONE host input array across calls (no fresh "
+                    "np.array copy): if the slope vanishes, the client "
+                    "retains state per distinct input array")
+    ap.add_argument("--fetch-every", type=int, default=1,
+                    help="force-fetch only every Nth result: if the slope "
+                    "follows fetches, the retention is on the download leg")
+    ap.add_argument("--tracemalloc", action="store_true",
+                    help="attribute Python-visible growth by allocation "
+                    "site: a native-client leak shows RSS slope with "
+                    "nothing here")
     args = ap.parse_args()
 
     watchdog = _watchdog(float(os.environ.get("SOME_BENCH_TIMEOUT", 1800)))
@@ -84,13 +95,19 @@ def main() -> None:
     np.asarray(out["n_notes"])[:1]
 
     samples = []
+    snap0 = None
+    if args.tracemalloc:
+        import tracemalloc
+        tracemalloc.start(10)
+        snap0 = tracemalloc.take_snapshot()
     r_start = _rss_mb()
     t0 = time.perf_counter()
     for i in range(1, args.calls + 1):
         # fresh host buffer each call, like a fresh HTTP body would be
-        a = np.array(audio_w, copy=True)
+        a = audio_w if args.same_buffer else np.array(audio_w, copy=True)
         out = engine.run_bucket(a, mask)
-        np.asarray(out["n_notes"])[:1]              # force (lazy backend)
+        if i % args.fetch_every == 0:
+            np.asarray(out["n_notes"])[:1]          # force (lazy backend)
         if i % args.every == 0:
             samples.append({"calls": i, "rss_mb": round(_rss_mb(), 1)})
             print(f"| {i} calls: rss {samples[-1]['rss_mb']} MB",
@@ -107,12 +124,22 @@ def main() -> None:
     except Exception:
         pass
     r_trim = _rss_mb()
+    trace_top = None
+    if snap0 is not None:
+        import tracemalloc
+        snap1 = tracemalloc.take_snapshot()
+        trace_top = [
+            {"site": str(s.traceback), "growth_kb": round(s.size_diff / 1024)}
+            for s in snap1.compare_to(snap0, "lineno")[:8]
+            if s.size_diff > 256 * 1024]
+        traced_mb = tracemalloc.get_traced_memory()[0] / 2**20
     watchdog.cancel()
     print(json.dumps({
         "metric": "rss_device_probe",
         "unit": "MB RSS growth over bare run_bucket calls, fresh host "
                 "buffer per call, forced fetch, no HTTP/dispatcher",
         "calls": args.calls, "rows": args.rows, "frames": args.frames,
+        "same_buffer": args.same_buffer, "fetch_every": args.fetch_every,
         "wire": engine.wire,
         "rss_start_mb": round(r_start, 1), "rss_end_mb": round(r_end, 1),
         "rss_growth_mb": round(r_end - r_start, 1),
@@ -120,6 +147,9 @@ def main() -> None:
         "survives_trim_mb": round(r_trim - r_start, 1),
         "mb_per_call": round((r_end - r_start) / args.calls, 3),
         "wall_s": round(wall, 1), "trace": samples,
+        **({"tracemalloc_top": trace_top,
+            "python_traced_mb": round(traced_mb, 1)}
+           if trace_top is not None else {}),
         "platform": jax_platform()}), flush=True)
 
 
