@@ -230,9 +230,18 @@ class BatchingDispatcher:
 
 def make_server(engine, config: dict, addr: str, port: int,
                 max_wait_ms: float = 25.0, infer_timeout_s: float = 600.0,
-                fast_lane: bool = True):
+                fast_lane: bool = True, recycle_after: Optional[int] = None):
     """Build (but do not start) the HTTP server; returns (httpd, dispatcher).
-    Split from serve() so tests can drive it in-process."""
+    Split from serve() so tests can drive it in-process.
+
+    ``recycle_after``: after this many completed requests /healthz reports
+    ``{"status": "recycle"}`` with HTTP 503 so an orchestrator's liveness
+    probe rotates the worker. The device tunnel client retains ~1 MB of
+    live host memory per request below anything this repo controls
+    (adjudicated in BENCH_NOTES "Serve-soak RSS slope": every repo layer is
+    flat under gc+malloc_trim, bare run_bucket calls are not) — bounded
+    worker lifetime is the production mitigation. In-flight requests
+    finish normally; only the health signal flips."""
     from concurrent.futures import ThreadPoolExecutor
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -261,9 +270,16 @@ def make_server(engine, config: dict, addr: str, port: int,
             if self.path.startswith("/healthz"):
                 busy = dispatcher.busy_seconds()
                 stalled = busy > infer_timeout_s
-                self._reply_json(503 if stalled else 200, {
-                    "status": "stalled" if stalled else "ok",
+                with dispatcher._lock:
+                    served = dispatcher.stats["requests"]
+                recycle = (not stalled and recycle_after is not None
+                           and served >= recycle_after)
+                status = ("stalled" if stalled
+                          else "recycle" if recycle else "ok")
+                self._reply_json(503 if status != "ok" else 200, {
+                    "status": status,
                     "queue_depth": dispatcher.queue_depth(),
+                    "requests": served,
                     "busy_seconds": round(busy, 1)})
             elif self.path.startswith("/stats"):
                 self._reply_json(200, dispatcher.snapshot())
@@ -393,6 +409,11 @@ def make_server(engine, config: dict, addr: str, port: int,
               help="Dispatch a request arriving to an empty queue "
                    "immediately (no max-wait-ms batching tax for lone "
                    "requests; concurrent bursts still batch).")
+@click.option("--recycle-after", required=False, type=int, default=None,
+              help="After N completed requests /healthz flips to 503 "
+                   "{status: recycle} so an orchestrator rotates this "
+                   "worker — bounds the tunnel client's measured ~1 MB/"
+                   "request host-memory retention (BENCH_NOTES).")
 @click.option("--prewarm", required=False, default=None, metavar="T1,T2,..",
               help="Frame buckets to compile BEFORE accepting traffic "
                    "(each warmed across the 1..8 row buckets), e.g. "
@@ -400,7 +421,7 @@ def make_server(engine, config: dict, addr: str, port: int,
                    "first request to hit a cold (rows, frames) program "
                    "pays its compile (measured 92 s on the TPU tunnel).")
 def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
-          infer_timeout_s, wire_sr, fast_lane, prewarm):
+          infer_timeout_s, wire_sr, fast_lane, recycle_after, prewarm):
     import yaml
 
     from some_tpu.inference.base_infer import build_inference
@@ -424,7 +445,8 @@ def serve(model, port, addr, devices, max_wait_ms, max_batch_chunks,
     httpd, _ = make_server(engine, config, addr, port,
                            max_wait_ms=max_wait_ms,
                            infer_timeout_s=infer_timeout_s,
-                           fast_lane=fast_lane)
+                           fast_lane=fast_lane,
+                           recycle_after=recycle_after)
     print(f"| serving on http://{addr}:{port} "
           f"(POST /transcribe, GET /healthz, /stats)")
     httpd.serve_forever()

@@ -435,3 +435,48 @@ def test_fast_lane_still_batches_bursts():
     assert first.done.wait(timeout=10)
     assert calls[0] == 1 and 3 in calls, \
         f"burst behind a busy engine should batch: calls={calls}"
+
+
+def test_recycle_after_flips_healthz():
+    """--recycle-after bounds worker lifetime: the tunnel client retains
+    ~1 MB/request of live host memory below anything this repo controls
+    (BENCH_NOTES 'Serve-soak RSS slope'), so after N completed requests
+    /healthz must report 503 {status: recycle} for the orchestrator while
+    transcription keeps working (drain, don't drop)."""
+    from serve import make_server
+
+    class StubEngine:
+        max_batch_chunks = 8
+
+        def infer(self, waveforms):
+            return [{"note_midi": np.zeros(0), "note_dur": np.zeros(0),
+                     "note_rest": np.zeros(0, bool)} for _ in waveforms]
+
+    config = dict(TINY_MODEL_CONFIG)
+    httpd, dispatcher = make_server(StubEngine(), config, "127.0.0.1", 0,
+                                    max_wait_ms=1.0, recycle_after=2)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = _wav_bytes(synth(0.3, 440.0, seed=3),
+                          config["audio_sample_rate"])
+        status, _, _ = _post(base + "/transcribe?tempo=120", body)
+        assert status == 200
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+        status, _, _ = _post(base + "/transcribe?tempo=120", body)
+        assert status == 200
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=60)
+            assert False, "expected HTTP 503 recycle"
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+            health = json.loads(err.read())
+        assert health["status"] == "recycle"
+        assert health["requests"] == 2
+        # requests keep succeeding while the orchestrator drains the worker
+        status, _, _ = _post(base + "/transcribe?tempo=120", body)
+        assert status == 200
+    finally:
+        httpd.shutdown()
