@@ -734,6 +734,9 @@ def test_prewarm_compiles_row_buckets(engine):
     later real traffic on those shapes produces normal output."""
     n = engine.prewarm([256], rows=(1, 2))
     assert n == 2
+    # threaded loads (workers>1) must touch the same program set; measured
+    # negative on the tunnel (serial default) but the path must stay correct
+    assert engine.prewarm([256], rows=(1, 2), workers=2) == 2
     with pytest.raises(ValueError):
         engine.prewarm([999])  # not a bucket
     out = engine.infer([synth(1.0, 440, seed=4)])[0]
