@@ -52,7 +52,17 @@ def _event_line(event) -> str:
                    "first-visit compile ON the real-time path (measured "
                    "32.8 s worst-case first-event latency, BENCH_NOTES "
                    "round-4 streaming; prewarmed steady state is <1 s).")
-def stream(model, pcm_format, chunk_ms, midi, tempo, prewarm):
+@click.option("--prewarm-buckets", required=False, default=None,
+              metavar="T1,T2,..",
+              help="Prewarm ONLY these frame buckets (like serve.py "
+                   "--prewarm). Default: every bucket <=4096 frames — "
+                   "thorough but slow to start where executable loads are "
+                   "expensive (22 programs took 562 s on the tunneled dev "
+                   "chip, BENCH_NOTES round 5); a deployment that knows its "
+                   "phrase lengths can start in a fraction of that. "
+                   "Off-list buckets compile on first visit.")
+def stream(model, pcm_format, chunk_ms, midi, tempo, prewarm,
+           prewarm_buckets):
     import yaml
 
     from some_tpu.inference.base_infer import build_inference
@@ -69,7 +79,11 @@ def stream(model, pcm_format, chunk_ms, midi, tempo, prewarm):
         # tripling warmup cost). Buckets above 4096 frames (~47 s of
         # silence-free singing) are left to compile on demand — phrases
         # that long don't occur in live vocal input.
-        buckets = [b for b in engine.frame_buckets if b <= 4096]
+        if prewarm_buckets:
+            buckets = [int(b) for b in prewarm_buckets.split(",")
+                       if b.strip()]
+        else:
+            buckets = [b for b in engine.frame_buckets if b <= 4096]
         print("| prewarming bucket programs before accepting audio...",
               file=sys.stderr, flush=True)
         n = engine.prewarm(buckets, rows=(1, 2))
