@@ -34,7 +34,11 @@ COPY infer.py batch_infer.py binarize.py train.py export.py webui.py \
 # 0918_continuous256_clean_3spk_fixmel release, converted or as-is)
 EXPOSE 7860 8572
 # interactive webui by default; for the production batch-serving API run
-#   docker run ... some-tpu python serve.py --model experiments/model.ckpt
+#   docker run ... some-tpu python serve.py --model experiments/model.ckpt \
+#     --prewarm 768,1024 --recycle-after 50000
+# (--prewarm compiles the expected buckets before traffic; --recycle-after
+#  bounds worker lifetime — the PJRT tunnel client measured ~1 MB/request
+#  of host retention, BENCH_NOTES "Serve-soak RSS slope")
 # and for live pipe transcription
 #   ... some-tpu python stream.py --model experiments/model.ckpt
 CMD ["python", "webui.py", "--work_dir", "experiments", "--addr", "0.0.0.0"]
