@@ -19,9 +19,8 @@ import pathlib
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 
 import numpy as np
 
@@ -256,9 +255,10 @@ def _spawn_probe():
         # script dir — anchor the repo root explicitly so `python
         # /root/repo/bench.py` works from any directory
         f"sys.path.insert(0, {str(pathlib.Path(__file__).parent)!r});"
-        "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
-        "'/tmp/some_tpu_jax_cache');"
-        "import some_tpu;"  # applies SOME_TPU_PLATFORM=cpu when smoke-testing
+        # import some_tpu applies SOME_TPU_PLATFORM=cpu when smoke-testing
+        # and the persistent compile cache via jax.config (env vars are
+        # dead under this image's sitecustomize — CLAUDE.md)
+        "import some_tpu;"
         "import numpy, jax.numpy as jnp;"
         "numpy.asarray(jnp.sum(jnp.ones((64,64))))")
     return subprocess.Popen([sys.executable, "-c", code],

@@ -271,7 +271,13 @@ def make_server(engine, config: dict, addr: str, port: int,
                 busy = dispatcher.busy_seconds()
                 stalled = busy > infer_timeout_s
                 with dispatcher._lock:
-                    served = dispatcher.stats["requests"]
+                    # failed and abandoned requests made device calls too —
+                    # the per-call tunnel retention this knob bounds accrues
+                    # for them just the same (code-review r5), so a worker
+                    # whose engine intermittently errors must still recycle
+                    served = (dispatcher.stats["requests"]
+                              + dispatcher.stats["failed_requests"]
+                              + dispatcher.stats["abandoned_requests"])
                 recycle = (not stalled and recycle_after is not None
                            and served >= recycle_after)
                 status = ("stalled" if stalled

@@ -72,6 +72,31 @@ def stream(model, pcm_format, chunk_ms, midi, tempo, prewarm,
     with open(model_path.with_name("config.yaml"), "r", encoding="utf8") as f:
         config = yaml.safe_load(f)
     engine = build_inference(config, model_path)
+
+    sr = config["audio_sample_rate"]
+    itemsize = 2 if pcm_format == "s16le" else 4
+    chunk_bytes = max(itemsize, int(sr * chunk_ms / 1000) * itemsize)
+
+    # Drain stdin from a background thread STARTED BEFORE the prewarm: a
+    # plain-pipe caller (the docstring's ffmpeg example) has no way to wait
+    # for the ready marker, and a blocked pipe would stall/drop the source
+    # for the whole warmup (code-review r5). Audio buffers in memory
+    # meanwhile — mono PCM is ~5 MB/min at 44.1 kHz s16, so even a
+    # multi-minute warmup holds tens of MB, not GB.
+    import queue as _queue
+    chunks_q: "_queue.Queue[bytes]" = _queue.Queue()
+
+    def _drain_stdin():
+        stdin = sys.stdin.buffer
+        while True:
+            data = stdin.read(chunk_bytes)
+            chunks_q.put(data)
+            if not data:  # EOF sentinel stays in the queue
+                return
+
+    import threading
+    threading.Thread(target=_drain_stdin, daemon=True).start()
+
     if prewarm:
         # rows (1, 2): the live path feeds one phrase at a time (row 1);
         # an over-length phrase seam-splits into multiple rows, which
@@ -94,14 +119,9 @@ def stream(model, pcm_format, chunk_ms, midi, tempo, prewarm,
     # no live audio races the warmup above
     print("| ready (awaiting stdin)", file=sys.stderr, flush=True)
 
-    sr = config["audio_sample_rate"]
-    itemsize = 2 if pcm_format == "s16le" else 4
-    chunk_bytes = max(itemsize, int(sr * chunk_ms / 1000) * itemsize)
-
-    stdin = sys.stdin.buffer
     pending = b""
     while True:
-        data = stdin.read(chunk_bytes)
+        data = chunks_q.get()
         if not data:
             break
         pending += data

@@ -22,7 +22,8 @@ import pathlib
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402

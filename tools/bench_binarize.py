@@ -35,9 +35,8 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 
 import numpy as np
 
@@ -45,19 +44,10 @@ SR = 44100
 
 
 def _watchdog(seconds: float):
-    import threading
-
-    def fire():
-        print(json.dumps({"metric": "binarize_rtf", "value": 0.0,
-                          "unit": "timeout-sentinel",
-                          "error": f"watchdog fired after {seconds}s"}),
-              flush=True)
-        os._exit(3)
-
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
+    from tools._bench_util import start_watchdog
+    return start_watchdog(seconds, {
+        "metric": "binarize_rtf", "value": 0.0, "unit": "timeout-sentinel",
+        "error": f"watchdog fired after {seconds}s"})
 
 
 def write_song_dataset(root: pathlib.Path, rng, seconds_list):
@@ -179,8 +169,12 @@ def main():
     # in batched mode the per-item grid resample runs OUTSIDE f0_batch
     # (from _extract_pitch's cache hit); time it into the rmvpe accumulator
     # so the split is A/B comparable with --no-batch, where get_pitch
-    # includes it (ADVICE r4)
-    RMVPE.f0_to_grid = staticmethod(timed(orig_grid.__func__, "rmvpe"))
+    # already includes it (ADVICE r4). Only wrap in batched mode: in
+    # --no-batch the wrapped get_pitch calls f0_to_grid internally, and a
+    # nested wrapper would add the grid time to acc['rmvpe'] TWICE
+    # (inflating rmvpe_s and understating host_other_s, code-review r5)
+    if not args.no_batch:
+        RMVPE.f0_to_grid = staticmethod(timed(orig_grid.__func__, "rmvpe"))
 
     # count REAL dispatched programs: every distinct (rows, frames) shape
     # entering the jitted forward (the pre-r5 counter tallied per-ITEM
@@ -194,7 +188,13 @@ def main():
             fwd_calls.append(mel.shape[:2])
             t0 = time.perf_counter()
             out = inner(variables, mel, t_valid)
-            out = __import__("jax").block_until_ready(out)
+            # fetch a byte: the axon backend is LAZY and block_until_ready
+            # alone can return before execution (CLAUDE.md; phantom sub-ms
+            # forwards) — without the fetch the device wait would land in
+            # the enclosing f0_batch/get_pitch timer and mis-attribute
+            # chip time to the host plane (code-review r5)
+            leaf = __import__("jax").tree_util.tree_leaves(out)[0]
+            np.asarray(leaf[tuple(0 for _ in leaf.shape)])  # 1-elem fetch
             acc["fwd"] += time.perf_counter() - t0
             return out
         return counting_forward

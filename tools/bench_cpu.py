@@ -27,7 +27,8 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ["SOME_TPU_PLATFORM"] = "cpu"  # before any jax import
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 
 import numpy as np
 

@@ -27,33 +27,20 @@ import time
 import urllib.request
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 
 import numpy as np
 
 
 def _watchdog(seconds: float):
-    def fire():
-        print(json.dumps({
-            "metric": "serve_bench", "value": 0.0,
-            "unit": f"TIMEOUT after {seconds}s — TPU backend unresponsive",
-        }), flush=True)
-        os._exit(3)
-
-    timer = threading.Timer(seconds, fire)
-    timer.daemon = True
-    timer.start()
-    return timer
+    from tools._bench_util import start_watchdog
+    return start_watchdog(seconds, {
+        "metric": "serve_bench", "value": 0.0,
+        "unit": f"TIMEOUT after {seconds}s — TPU backend unresponsive"})
 
 
-def _rss_mb() -> float:
-    with open("/proc/self/status") as fh:
-        for line in fh:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
+from tools._bench_util import rss_mb as _rss_mb  # noqa: E402
 
 
 def _percentiles(samples_ms):

@@ -28,29 +28,20 @@ import threading
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 
 import numpy as np
 
 
-def _rss_mb() -> float:
-    with open("/proc/self/status") as fh:
-        for line in fh:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
+from tools._bench_util import rss_mb as _rss_mb  # noqa: E402
+from tools._bench_util import start_watchdog, trim  # noqa: E402
 
 
 def _watchdog(seconds: float):
-    def fire():
-        print(json.dumps({"metric": "rss_device_probe", "value": 0.0,
-                          "unit": f"TIMEOUT after {seconds}s"}), flush=True)
-        os._exit(3)
-
-    timer = threading.Timer(seconds, fire)
-    timer.daemon = True
-    timer.start()
-    return timer
+    return start_watchdog(seconds, {
+        "metric": "rss_device_probe", "value": 0.0,
+        "unit": f"TIMEOUT after {seconds}s"})
 
 
 def main() -> None:
@@ -116,13 +107,7 @@ def main() -> None:
     r_end = _rss_mb()
     # live-object leaks survive gc + malloc_trim; allocator-cached free
     # heap does not (same discriminator as tools/soak_stub.py)
-    import ctypes
-    import gc
-    gc.collect()
-    try:
-        ctypes.CDLL("libc.so.6").malloc_trim(0)
-    except Exception:
-        pass
+    trim()
     r_trim = _rss_mb()
     trace_top = None
     if snap0 is not None:

@@ -28,23 +28,17 @@ import threading
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 
 import numpy as np
 
 
 def _watchdog(seconds: float):
-    def fire():
-        print(json.dumps({"metric": "rmvpe_profile", "value": 0.0,
-                          "unit": f"TIMEOUT after {seconds}s"}), flush=True)
-        os._exit(3)
-
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
+    from tools._bench_util import start_watchdog
+    return start_watchdog(seconds, {
+        "metric": "rmvpe_profile", "value": 0.0,
+        "unit": f"TIMEOUT after {seconds}s"})
 
 
 def main() -> None:

@@ -30,8 +30,6 @@ Prints one JSON line.
 from __future__ import annotations
 
 import argparse
-import ctypes
-import gc
 import io
 import json
 import pathlib
@@ -46,19 +44,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def _rss_mb() -> float:
-    with open("/proc/self/status") as fh:
-        for line in fh:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
-
-
-def _malloc_trim() -> None:
-    try:
-        ctypes.CDLL("libc.so.6").malloc_trim(0)
-    except Exception:
-        pass
+from tools._bench_util import rss_mb as _rss_mb  # noqa: E402
+from tools._bench_util import trim as _gc_trim  # noqa: E402
 
 
 class StubEngine:
@@ -243,8 +230,7 @@ def main() -> None:
         _soak_engine(engine, waveform, sr, 2)
     else:
         _soak_parse(body, sr, args.clients, args.clients)
-    gc.collect()
-    _malloc_trim()
+    _gc_trim()
 
     if args.tracemalloc:
         tracemalloc.start(10)
@@ -268,8 +254,7 @@ def main() -> None:
             errors = _soak_parse(body, sr, args.requests, args.clients)
         wall = time.perf_counter() - t0
         rss_raw = _rss_mb()
-        gc.collect()
-        _malloc_trim()
+        _gc_trim()
         rss_trimmed = _rss_mb()
         result["soaks"].append({
             "wall_s": round(wall, 1), "errors": len(errors),

@@ -20,9 +20,8 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/some_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# persistent compile cache: applied by `import some_tpu` via jax.config.update
+# (env vars are DEAD on this image — sitecustomize imports jax first; CLAUDE.md)
 
 
 def main():
@@ -78,7 +77,7 @@ def main():
             print(f"| compiled rows={r} frames={bucket} "
                   f"({time.perf_counter() - t0:.1f}s)", flush=True)
     print(f"| warmed {total} programs into "
-          f"{os.environ['JAX_COMPILATION_CACHE_DIR']}")
+          f"{jax.config.jax_compilation_cache_dir}")
 
 
 if __name__ == "__main__":
