@@ -480,3 +480,40 @@ def test_recycle_after_flips_healthz():
         assert status == 200
     finally:
         httpd.shutdown()
+
+
+def test_recycle_counts_failed_requests():
+    """The per-call tunnel retention accrues for FAILED requests too (the
+    device call happened); a worker whose engine intermittently raises must
+    still hit its recycle threshold (code-review r5)."""
+    from serve import make_server
+
+    class FailingEngine:
+        max_batch_chunks = 8
+
+        def infer(self, waveforms):
+            raise RuntimeError("tunnel reset")
+
+    config = dict(TINY_MODEL_CONFIG)
+    httpd, dispatcher = make_server(FailingEngine(), config, "127.0.0.1", 0,
+                                    max_wait_ms=1.0, recycle_after=2)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = _wav_bytes(synth(0.3, 440.0, seed=4),
+                          config["audio_sample_rate"])
+        for _ in range(2):
+            try:
+                _post(base + "/transcribe?tempo=120", body)
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as err:
+                assert err.code == 500
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=60)
+            assert False, "expected 503 recycle despite zero successes"
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+            assert json.loads(err.read())["status"] == "recycle"
+    finally:
+        httpd.shutdown()
